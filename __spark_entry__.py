@@ -1,38 +1,318 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()[name]`` (spark, sf_dir) → DataFrame is compared against
+``oracle_sql()[name]`` run by DuckDB on the same parquet tables
+(row-count + schema + order-insensitive value-hash).
+
+Every query maps to an operator row in SURVEY.md §2 (IDs cited in
+the lambdas' docstrings / comments). Crawl-shaped inputs (`urls`,
+`pages`) are derived deterministically from `events` by
+webcrawlergo_spark.sources.crawlviews — the identical derivation is
+inlined in the oracle SQL as CTEs, so both engines see the same rows.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from webcrawlergo_spark.operators import dedup as dd
+from webcrawlergo_spark.operators import relational as rel
+from webcrawlergo_spark.operators import similarity as sim
+from webcrawlergo_spark.operators import text as tx
+from webcrawlergo_spark.operators import window as win
+from webcrawlergo_spark.operators.crawl_queries import crawl_bfs_depth, link_extract_spans
+from webcrawlergo_spark.sources import crawlviews as cv
+from webcrawlergo_spark.sources.tpch import load_table
+
+# Shared CTE prelude for every oracle that touches the derived views.
+_VIEWS_CTE = f"""
+WITH urls AS ({cv.URLS_VIEW_SQL}),
+     pages AS ({cv.PAGES_VIEW_SQL})
+"""
+
+_CUTOFF = "2024-01-04 00:00:00"
+
+
+def _views(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    return cv.urls_view(ev), cv.pages_view(ev)
+
+
+# --------------------------------------------------------------------------
+# Query implementations (Spark side)
+# --------------------------------------------------------------------------
+
+def q_latest_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 + J1 (reference models/page.go:20-44) — the flagship.
+    urls, pages = _views(spark, sf_dir)
+    return win.latest_pages(pages, urls).orderBy("url_id")
+
+
+def q_latest_pages_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 (reference models/page.go:205-226).
+    urls, pages = _views(spark, sf_dir)
+    return win.latest_pages(pages, urls).agg(F.count("*").alias("n_latest"))
+
+
+def q_latest_pages_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §3.2 export pipeline: P15 cutoff + P16 prefix/substring + W1.
+    urls, pages = _views(spark, sf_dir)
+    return win.latest_pages_filtered(
+        pages, urls, cutoff=_CUTOFF, base_prefix="https://host1", marked_substr="/u/1"
+    ).orderBy("url_id")
+
+
+def q_list_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4 = P3 + P4 + O1 + O2 (reference models/url.go:201-267).
+    urls, _ = _views(spark, sf_dir)
+    return rel.list_urls(urls, like="1", is_alive=True, sort="-url", page=2, page_size=10)
+
+
+def q_url_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P2 point lookup (reference models/url.go:30).
+    urls, _ = _views(spark, sf_dir)
+    return rel.get_url_by_id(urls, 7)
+
+
+def q_monitored_alive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5 (reference models/url.go:43-45).
+    urls, _ = _views(spark, sf_dir)
+    return rel.monitored_alive(urls)
+
+
+def q_pages_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4-analog with manual column pruning P1 (reference models/page.go:17).
+    urls, pages = _views(spark, sf_dir)
+    return rel.pages_by_url(pages, urls, url_id=3)
+
+
+def q_urls_never_fetched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2-shaped anti-join — the dedup plan shape (queue/queue.go:99-110).
+    # Pages restricted to an early window so the anti-join is non-trivial.
+    urls, pages = _views(spark, sf_dir)
+    early = pages.filter(F.col("added_at") <= F.lit("2024-01-01 02:00:00").cast("timestamp"))
+    return rel.urls_never_fetched(urls, early)
+
+
+def q_urls_fetched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4-shaped semi-join (queue/queue.go:67-74).
+    urls, pages = _views(spark, sf_dir)
+    return rel.urls_fetched(urls, pages)
+
+
+def q_union_retries_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1 + U2 (crawler.go:200; queue/queue.go:99-126).
+    urls, _ = _views(spark, sf_dir)
+    a = urls.filter(F.col("url").contains("/u/1"))
+    b = urls.filter(F.col("url").contains("/u/2"))
+    return rel.union_with_retries(a, b).select("id", "url").orderBy("id")
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O1/O2 top-k (TakeOrderedAndProject physical plan).
+    orders = load_table(spark, sf_dir, "orders")
+    return rel.top_k(orders, "o_totalprice", 10, "o_orderkey").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+def q_group_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A-class aggregation headline (TPC-H Q1 shape) — exercises
+    # map-side partial aggregation; sums rounded for cross-engine fp.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 trim + trailing-slash strip, F5 prefix test, F13 lower
+    # (crawler.go:382-385; internal/utils.go:38-45; models/psql/psql.go:51).
+    urls, _ = _views(spark, sf_dir)
+    href = F.concat(F.col("url"), F.lit("/"))
+    return urls.select(
+        "id",
+        F.regexp_replace(F.trim(href), "/+$", "").alias("href_norm"),
+        F.lower(F.col("url")).alias("url_lower"),
+        F.col("url").startswith("https://host1").alias("is_host1"),
+    ).orderBy("id")
+
+
+def q_timestamp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F9 re-crawl expiry: last_saved + days <= now (init.go:39-46,67-75).
+    _, pages = _views(spark, sf_dir)
+    return (
+        pages.filter(F.col("added_at") + F.expr("INTERVAL 2 DAYS") <= F.lit(_CUTOFF).cast("timestamp"))
+        .select("id", "url_id", "added_at")
+        .orderBy("id")
+    )
+
+
+def q_href_token_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X1-shaped order-preserving token extraction via posexplode
+    # (crawler.go:376-401 document-order anchor walk).
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.token_extract(docs, prefix="s")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup by content hash-groupBy (training-pipeline op).
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_exact(docs)
+
+
+# --------------------------------------------------------------------------
+# Contract functions
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (W1 latest-pages)."""
+    return q_latest_pages(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "latest_pages": q_latest_pages,
+        "latest_pages_count": q_latest_pages_count,
+        "latest_pages_export": q_latest_pages_export,
+        "list_urls": q_list_urls,
+        "url_by_id": q_url_by_id,
+        "monitored_alive": q_monitored_alive,
+        "pages_by_url": q_pages_by_url,
+        "urls_never_fetched": q_urls_never_fetched,
+        "urls_fetched": q_urls_fetched,
+        "union_retries_dedup": q_union_retries_dedup,
+        "topk_orders": q_topk_orders,
+        "group_agg_lineitem": q_group_agg_lineitem,
+        "scalar_string_funcs": q_scalar_string_funcs,
+        "timestamp_arith": q_timestamp_arith,
+        "href_token_extract": q_href_token_extract,
+        "dedup_exact": q_dedup_exact,
+    }
+    q.update(dd.QUERIES)
+    q.update(sim.QUERIES)
+    q.update(tx.QUERIES)
+    q["link_extract_spans"] = link_extract_spans
+    q["crawl_bfs_depth"] = crawl_bfs_depth
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "latest_pages": _VIEWS_CTE
+        + """
+        , latest AS (
+            SELECT p.*, ROW_NUMBER() OVER (
+                PARTITION BY p.url_id ORDER BY p.added_at DESC, p.id DESC) AS rn
+            FROM pages p)
+        SELECT l.url_id, u.url, l.added_at, l.doc_id, u.is_monitored, u.is_alive
+        FROM latest l JOIN urls u ON l.url_id = u.id
+        WHERE l.rn = 1 ORDER BY l.url_id
+        """,
+        "latest_pages_count": _VIEWS_CTE
+        + """
+        , latest AS (
+            SELECT p.*, ROW_NUMBER() OVER (
+                PARTITION BY p.url_id ORDER BY p.added_at DESC, p.id DESC) AS rn
+            FROM pages p)
+        SELECT COUNT(*) AS n_latest
+        FROM latest l JOIN urls u ON l.url_id = u.id WHERE l.rn = 1
+        """,
+        "latest_pages_export": _VIEWS_CTE
+        + f"""
+        , fp AS (SELECT * FROM pages WHERE added_at <= TIMESTAMP '{_CUTOFF}'),
+        fu AS (SELECT * FROM urls
+               WHERE url LIKE 'https://host1%' AND url LIKE '%/u/1%'),
+        j AS (SELECT fp.id, fp.url_id, fu.url, fp.added_at, fp.doc_id
+              FROM fp JOIN fu ON fp.url_id = fu.id),
+        latest AS (SELECT j.*, ROW_NUMBER() OVER (
+              PARTITION BY url_id ORDER BY added_at DESC, id DESC) AS rn FROM j)
+        SELECT url_id, url, added_at, doc_id FROM latest WHERE rn = 1
+        ORDER BY url_id
+        """,
+        "list_urls": _VIEWS_CTE
+        + """
+        SELECT * FROM urls
+        WHERE url LIKE '%1%' AND is_alive = TRUE
+        ORDER BY url DESC, id ASC LIMIT 10 OFFSET 10
+        """,
+        "url_by_id": _VIEWS_CTE + "SELECT * FROM urls WHERE id = 7",
+        "monitored_alive": _VIEWS_CTE
+        + "SELECT * FROM urls WHERE is_monitored AND is_alive ORDER BY id",
+        "pages_by_url": _VIEWS_CTE
+        + """
+        SELECT p.id, p.url_id, p.added_at FROM pages p
+        WHERE p.url_id = 3 AND EXISTS (SELECT 1 FROM urls u WHERE u.id = p.url_id)
+        ORDER BY p.added_at DESC, p.id DESC
+        """,
+        "urls_never_fetched": _VIEWS_CTE
+        + """
+        SELECT u.* FROM urls u
+        WHERE NOT EXISTS (SELECT 1 FROM pages p
+                          WHERE p.url_id = u.id
+                            AND p.added_at <= TIMESTAMP '2024-01-01 02:00:00')
+        ORDER BY u.id
+        """,
+        "urls_fetched": _VIEWS_CTE
+        + """
+        SELECT u.* FROM urls u
+        WHERE EXISTS (SELECT 1 FROM pages p WHERE p.url_id = u.id)
+        ORDER BY u.id
+        """,
+        "union_retries_dedup": _VIEWS_CTE
+        + """
+        SELECT id, url FROM (
+            SELECT id, url FROM urls WHERE url LIKE '%/u/1%'
+            UNION
+            SELECT id, url FROM urls WHERE url LIKE '%/u/2%') t
+        ORDER BY id
+        """,
+        "topk_orders": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "group_agg_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        "scalar_string_funcs": _VIEWS_CTE
+        + """
+        SELECT id,
+               regexp_replace(trim(url || '/'), '/+$', '') AS href_norm,
+               lower(url) AS url_lower,
+               (url LIKE 'https://host1%') AS is_host1
+        FROM urls ORDER BY id
+        """,
+        "timestamp_arith": _VIEWS_CTE
+        + f"""
+        SELECT id, url_id, added_at FROM pages
+        WHERE added_at + INTERVAL 2 DAY <= TIMESTAMP '{_CUTOFF}'
+        ORDER BY id
+        """,
+        "href_token_extract": tx.TOKEN_EXTRACT_SQL,
+        "dedup_exact": dd.DEDUP_EXACT_SQL,
+    }
+    o.update(dd.ORACLES)
+    o.update(sim.ORACLES)
+    o.update(tx.ORACLES)
+    from webcrawlergo_spark.operators.crawl_queries import CRAWL_ORACLES
+
+    o.update(CRAWL_ORACLES)
+    return o

@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column-name set, and an order-insensitive
+value multiset (columns sorted by name, rows sorted, values
+normalized). Usage:
+
+    python tools/compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from webcrawlergo_spark.schemas import TESTDATA_TABLES
+from webcrawlergo_spark.session import get_spark
+
+
+def _norm(v):
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and format stably
+        return repr(round(v + 0.0, 9))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def run_compare(sf_dir: str, only: list[str] | None = None) -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("compare-harness")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only check, {len(srows)} rows (no oracle)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: schema spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            ok = False
+        if ok:
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            sset = sorted(tuple(_norm(r[i]) for i in order) for r in srows)
+            dset = sorted(tuple(_norm(r[i]) for i in dorder) for r in drows)
+            if sset != dset:
+                diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+                print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows")
+        else:
+            failures += 1
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+    raise SystemExit(run_compare(sf_dir, only))

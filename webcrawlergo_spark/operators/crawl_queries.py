@@ -1,0 +1,174 @@
+"""Crawl-semantics queries wired to the DuckDB oracle harness.
+
+Two bridges between the frontier engine (plans/wave.py, pytest-
+verified against a pure-Python golden oracle) and the driver's
+SQL-oracle harness, which only sees the TPC-H-ish tables:
+
+- ``link_extract_spans``: X1 — documents are lifted into the
+  interleaved span representation (BASELINE.json input_hint:
+  array<struct<kind,text,media_ref,offset>>), then links are
+  extracted via posexplode preserving (offset, link_pos) document
+  order, exactly the reference's ordered anchor walk
+  (reference crawler.go:376-401). Oracle: flat SQL on the same
+  derivation.
+
+- ``crawl_bfs_depth``: the frontier wave loop (BFS-by-depth with a
+  seen-set anti-join, reference queue/queue.go:99-141 FIFO+dedup)
+  over a deterministic link graph derived from the documents table;
+  oracle: WITH RECURSIVE min-depth reachability.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MAX_DEPTH = 6
+_EDGE_MULS = ((7, 1), (13, 2), (31, 3))  # dst = (src*a + b) % n_docs
+
+
+def docs_as_spans(docs: DataFrame) -> DataFrame:
+    """Lift flat documents into the interleaved-span shape
+    (one text span at offset 0, one media span at offset 1)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def extract_links(spans_df: DataFrame, prefix: str = "s") -> DataFrame:
+    """X1: posexplode(spans) → text spans only → ordered href tokens.
+
+    Order is carried by computed columns (offset, link_pos) — the
+    document-order invariant of the reference's anchor walk. Media
+    spans yield no links (FIXTURES.md §1 convention).
+    """
+    flat = spans_df.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.offset").alias("offset"),
+    )
+    toks = flat.filter(F.col("kind") == "text").select(
+        "doc_id", "offset", F.posexplode(F.split("text", " ")).alias("link_pos", "tok")
+    )
+    return (
+        toks.filter(F.col("tok").startswith(prefix))
+        .select(
+            "doc_id",
+            "offset",
+            "link_pos",
+            F.concat(F.lit("https://site.test/"), F.col("tok")).alias("href"),
+        )
+        .orderBy("doc_id", "offset", "link_pos")
+    )
+
+
+def link_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_links(docs_as_spans(docs))
+
+
+LINK_EXTRACT_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS "offset", pos AS link_pos,
+       'https://site.test/' || tok AS href
+FROM (
+    SELECT doc_id,
+           unnest(range(0, len(s))) AS pos,
+           unnest(s) AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t) u
+WHERE tok LIKE 's%'
+ORDER BY doc_id, link_pos
+"""
+
+
+def edges_df(docs: DataFrame) -> DataFrame:
+    """Deterministic link graph over doc ids: each doc links to
+    (id*a + b) % n_docs for the three (a, b) multipliers."""
+    n = docs.count()
+    e = [
+        docs.select(
+            F.col("doc_id").cast("long").alias("src"),
+            ((F.col("doc_id") * a + b) % n).cast("long").alias("dst"),
+        )
+        for a, b in _EDGE_MULS
+    ]
+    return reduce(lambda x, y: x.unionByName(y), e).distinct()
+
+
+def bfs_frontier(edges: DataFrame, seed: int = 0, max_depth: int = MAX_DEPTH) -> DataFrame:
+    """BFS-by-depth wave loop — the skeleton of the crawl engine:
+    each wave = dedup-against-seen anti-join (J2) + distinct (U1),
+    exactly the UniqueQueue first-encounter semantics
+    (reference queue/queue.go:99-110) batched per depth.
+
+    Scale notes: `seen` and `frontier` stay as DataFrames; each wave
+    shuffles once on the join key. At 10^10 URLs the anti-join is the
+    bloom-shard probe + exact confirm (operators/seenset.py); here the
+    exact path is used because the oracle demands bit-exactness.
+    """
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(seed, 0)], "node long, depth int")
+    seen = frontier.select("node")
+    out = [frontier]
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+        )
+        # localCheckpoint truncates the growing lineage — without it the
+        # plan doubles per wave and the driver re-executes every prior
+        # anti-join each iteration.
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        out.append(nxt)
+        seen = seen.unionByName(nxt.select("node")).localCheckpoint(eager=True)
+        frontier = nxt
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def crawl_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bfs_frontier(edges_df(docs)).orderBy("node")
+
+
+CRAWL_BFS_SQL = f"""
+WITH RECURSIVE
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+edges AS (
+  {" UNION ".join(
+      f"SELECT CAST(doc_id AS BIGINT) AS src, CAST((doc_id * {a} + {b}) % (SELECT n_docs FROM n) AS BIGINT) AS dst FROM documents"
+      for a, b in _EDGE_MULS)}),
+bfs AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+  UNION
+  SELECT e.dst AS node, bfs.depth + 1 AS depth
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.depth < {MAX_DEPTH})
+SELECT node, CAST(MIN(depth) AS INTEGER) AS depth FROM bfs GROUP BY node ORDER BY node
+"""
+
+CRAWL_ORACLES = {
+    "link_extract_spans": LINK_EXTRACT_SQL,
+    "crawl_bfs_depth": CRAWL_BFS_SQL,
+}

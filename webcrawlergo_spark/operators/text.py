@@ -1,0 +1,178 @@
+"""Text-analysis operators for the training-data pipeline, plus the
+X1-shaped order-preserving token extraction.
+
+All hot paths are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd); no Python UDFs. Each operator ships a
+DuckDB-oracle SQL twin computing the identical deterministic formula.
+
+Ops: token extraction (X1 analog, reference crawler.go:376-401),
+language-ID (stopword-hit heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + word
+regex), document fingerprinting (md5 content hash — portable across
+engines, unlike xxhash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Deterministic "stopword" lists per language bucket — the testdata
+# text is synthetic word-salad, so these act as a reproducible n-gram
+# heuristic, not a linguistic model. Same lists inlined in the SQL.
+_EN_MARKERS = ("the", "a", "and", "of")
+_DATA_MARKERS = ("table", "row", "column", "key")
+
+
+def token_extract(docs: DataFrame, prefix: str = "s") -> DataFrame:
+    """Order-preserving token extraction: split → posexplode → filter.
+
+    The Spark shape of the reference's document-order anchor walk
+    (crawler.go:376-401): position travels with the token (pos column
+    of posexplode), so downstream ordering is a computed column, not
+    an execution accident.
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    return (
+        toks.filter(F.col("tok").startswith(prefix))
+        .select("doc_id", "pos", "tok")
+        .orderBy("doc_id", "pos")
+    )
+
+
+TOKEN_EXTRACT_SQL = """
+SELECT doc_id, pos, tok FROM (
+    SELECT doc_id,
+           unnest(range(0, len(s))) AS pos,
+           unnest(s) AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t
+) u WHERE tok LIKE 's%' ORDER BY doc_id, pos
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: score = #occurrences of marker tokens;
+    predict 'en' when en-marker hits > data-marker hits else 'data'.
+    Pure built-ins: token array + array filter + size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN_MARKERS)))
+    data_hits = F.size(F.filter(toks, lambda t: t.isin(*_DATA_MARKERS)))
+    return (
+        docs.select(
+            "doc_id",
+            en_hits.alias("en_hits"),
+            data_hits.alias("data_hits"),
+            F.when(en_hits > data_hits, F.lit("en")).otherwise(F.lit("data")).alias("pred_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LANG_ID_SQL = """
+SELECT doc_id, en_hits, data_hits,
+       CASE WHEN en_hits > data_hits THEN 'en' ELSE 'data' END AS pred_lang
+FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the', 'a', 'and', 'of'))) AS en_hits,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('table', 'row', 'column', 'key'))) AS data_hits
+    FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: doc length, token count, mean token length,
+    stopword ratio — the standard cheap pre-training filters, all as
+    codegen'd column expressions. Ratios rounded to 6dp for
+    cross-engine float comparability."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN_MARKERS)))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("len_chars"),
+            n_tok.alias("n_tokens"),
+            F.round((F.length("text") - n_tok + 1) / n_tok, 6).alias("mean_tok_len"),
+            F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+            ((F.length("text") >= 100) & (n_tok >= 20)).alias("passes_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SCORE_SQL = """
+SELECT doc_id,
+       length(text) AS len_chars,
+       len(s) AS n_tokens,
+       round((length(text) - len(s) + 1) / len(s), 6) AS mean_tok_len,
+       round(len(list_filter(s, t -> t IN ('the', 'a', 'and', 'of'))) / len(s), 6)
+           AS stopword_ratio,
+       (length(text) >= 100 AND len(s) >= 20) AS passes_quality
+FROM (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    subword proxy (ceil(chars/4) per word, the common ~4-chars/token
+    rule), both as column arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    bpe_ish = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("long")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("ws_tokens"),
+            bpe_ish.alias("bpe_ish_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(s) AS ws_tokens,
+       list_aggregate(list_transform(s, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)),
+                      'sum') AS bpe_ish_tokens
+FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized content.
+    md5 (not xxhash) because it is bit-identical across Spark, DuckDB
+    and Python — the engine's portable content-hash primitive."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+    "doc_fingerprint": fingerprint,
+}
+
+ORACLES = {
+    "lang_id": LANG_ID_SQL,
+    "quality_score": QUALITY_SCORE_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+}

@@ -1,0 +1,68 @@
+"""Window operators.
+
+W1 — latest-page-per-URL, the reference's only window function and
+its flagship export query (reference models/page.go:20-44,
+NOTES.md:50-63):
+
+    ROW_NUMBER() OVER (PARTITION BY u.id ORDER BY p.added_at DESC) AS rn
+    ... WHERE rn = 1
+
+Spark shape: one shuffle on ``url_id`` feeds both the window and the
+join when the join key matches the window key; Catalyst reuses the
+exchange. The ``urls`` side is broadcast when small. A deterministic
+tie-break on ``id DESC`` is added — the reference relies on rowid
+insertion order for equal timestamps; Spark must not rely on
+accidental order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def latest_pages(pages: DataFrame, urls: DataFrame) -> DataFrame:
+    """Latest fetched page per URL: J1 join + W1 window + rn=1 filter.
+
+    Mirrors reference models/page.go:20-44 (QueryGetLatestPagesCount /
+    QueryGetLatestPages): pages ⋈ urls ON p.url_id = u.id, keep newest
+    row per url.
+    """
+    w = Window.partitionBy("url_id").orderBy(F.col("added_at").desc(), F.col("id").desc())
+    latest = (
+        pages.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        latest.join(F.broadcast(urls), latest.url_id == urls.id, "inner")
+        .select("url_id", "url", "added_at", "doc_id", "is_monitored", "is_alive")
+    )
+
+
+def latest_pages_filtered(
+    pages: DataFrame,
+    urls: DataFrame,
+    cutoff: str | None = None,
+    base_prefix: str | None = None,
+    marked_substr: str | None = None,
+) -> DataFrame:
+    """Full export-query shape (reference models/page.go:24-44):
+    cutoff P15 (`added_at <= ?`) + prefix/substring P16
+    (`url LIKE base||'%' AND url LIKE '%'||marked||'%'`) applied
+    *inside* the CTE, before the window — filters push to the scan.
+    """
+    if cutoff is not None:
+        pages = pages.filter(F.col("added_at") <= F.lit(cutoff).cast("timestamp"))
+    if base_prefix is not None:
+        urls = urls.filter(F.col("url").startswith(base_prefix))
+    if marked_substr is not None:
+        urls = urls.filter(F.col("url").contains(marked_substr))
+    joined = pages.join(F.broadcast(urls), pages.url_id == urls.id, "inner").select(
+        pages.id.alias("id"), "url_id", "url", "added_at", "doc_id"
+    )
+    w = Window.partitionBy("url_id").orderBy(F.col("added_at").desc(), F.col("id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url_id", "url", "added_at", "doc_id")
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+One place to configure the engine's session so tests, the driver
+entry point, and the benchmark all agree on: AQE on (runtime shuffle
+re-planning + skew-join splitting), Arrow on (vectorized pandas UDF
+transfer), UTC session timezone (DuckDB-oracle comparability), and
+shuffle partitions sized to cores rather than the 200 default.
+
+At cluster scale the same factory is used by ``spark-submit
+--py-files``; only ``master`` and the memory knobs change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "webcrawlergo_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    ``cpus`` controls local-mode parallelism (``local[cpus]``); on a
+    real cluster leave ``master`` to spark-submit. ``shuffle_partitions``
+    defaults to 2x cores locally — at 100 TB you would instead size it
+    as total_shuffle_bytes / ~128MB and let AQE coalesce.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
