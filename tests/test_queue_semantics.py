@@ -1,0 +1,66 @@
+"""Port of the reference's queue unit tests onto the frontier ops
+(reference queue/queue_test.go:1-202, table for table — SURVEY §5.1).
+
+The UniqueQueue maps onto DataFrame primitives:
+  Insert (dedup)        → dedup_new_urls anti-join (J2)
+  InsertForce           → unionByName (no dedup)
+  Remove (FIFO)         → min enqueue key / with_global_rank order
+  GetMapValue/SetMap    → fetch_flags table semantics (wave engine)
+"""
+
+from pyspark.sql import functions as F
+
+from webcrawlergo_spark.operators.seenset import dedup_new_urls
+from webcrawlergo_spark.plans.rank import with_global_rank
+
+
+def _urls_df(spark, items):
+    return spark.createDataFrame([(u, i) for i, u in enumerate(items)], "url string, seq int")
+
+
+def test_insert_dedup_semantics(spark):
+    # queue_test.go:21-50: [item1, item2, item1] → queue keeps 2
+    seen = spark.createDataFrame([], "url string")
+    batch = _urls_df(spark, ["item1", "item2", "item1"])
+    firsts = batch.groupBy("url").agg(F.min("seq").alias("seq"))
+    added = dedup_new_urls(firsts, seen)
+    rows = sorted((r["url"], r["seq"]) for r in added.collect())
+    assert rows == [("item1", 0), ("item2", 1)]
+    # re-inserting item1 against the updated seen set is a NOP
+    seen2 = seen.unionByName(added.select("url"))
+    again = dedup_new_urls(_urls_df(spark, ["item1"]).groupBy("url").agg(F.min("seq").alias("seq")), seen2)
+    assert again.count() == 0
+
+
+def test_insert_force_bypasses_dedup(spark):
+    # queue_test.go:52-78: force-insert grows the queue regardless
+    q = _urls_df(spark, ["item1", "item2"])
+    forced = q.unionByName(_urls_df(spark, ["item1", "item2"]))
+    assert forced.count() == 4
+
+
+def test_fifo_order(spark):
+    # queue_test.go:80-126: removal order == insertion order
+    q = _urls_df(spark, ["a", "b", "c", "d"])
+    ranked = with_global_rank(q, ["seq"], "rank")
+    got = [r["url"] for r in ranked.orderBy("rank").collect()]
+    assert got == ["a", "b", "c", "d"]
+
+
+def test_global_rank_across_partitions(spark):
+    big = spark.range(1000).select(F.col("id").alias("seq"), F.col("id").cast("string").alias("url"))
+    ranked = with_global_rank(big.repartition(7), ["seq"], "rank", start=100)
+    rows = ranked.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(100, 1100))
+    assert [int(r["url"]) for r in rows] == list(range(1000))
+
+
+def test_fetch_flag_semantics(web, default_run):
+    # queue_test.go:128-171 GetMapValue/SetMapValue ≈ fetch_flags:
+    # never-pushed key absent; marked discovery true; save resets false
+    res = default_run
+    saved_urls = {r["url"] for r in res.pages.collect()}
+    seen_urls = {r["url"] for r in res.seen.collect()}
+    assert saved_urls <= seen_urls
+    # every saved URL matched a marked path (this run has no resume rows)
+    assert all(any(m in u for m in web.marked_paths) for u in saved_urls)

@@ -1,0 +1,66 @@
+"""T5 — kill/resume losslessness: run K waves with checkpointing,
+drop all in-memory state, resume from the Parquet-manifest
+checkpoint, and assert the final state is identical to an
+uninterrupted run (SURVEY §5.4)."""
+
+import tempfile
+
+from webcrawlergo_spark.plans.checkpoint import CheckpointStore
+from webcrawlergo_spark.plans.wave import CrawlConfig, CrawlEngine
+
+
+def _collect_state(res):
+    return {
+        "events": res.event_order(),
+        "crawl": res.crawl_order(),
+        "seen": sorted(r["url"] for r in res.seen.collect()),
+        "pages": [(r["url"], r["doc_id"]) for r in res.pages.orderBy("event_rank").collect()],
+        "urls": sorted(
+            (r["url"], r["is_monitored"], r["is_alive"]) for r in res.urls.collect()
+        ),
+    }
+
+
+def test_kill_and_resume_matches_uninterrupted(spark, web, web_dfs, default_run):
+    base_cfg = dict(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+    )
+    full = default_run
+    want = _collect_state(full)
+    assert full.waves > 3  # the kill point below really is mid-crawl
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        # "killed" after 2 waves
+        CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt, max_waves=2),
+        ).run()
+        # fresh engine, fresh state — resume from the manifest only
+        res = CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt),
+        ).run(resume=True)
+        assert _collect_state(res) == want
+
+
+def test_manifest_atomicity(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ck"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    store.commit(0, {"t": df})
+    store.commit(1, {"t": df.filter("id < 3")})
+    m = store.latest()
+    assert m["wave_id"] == 1
+    assert store.load(spark, "t").count() == 3
+
+
+def test_lineage_accounting(default_run):
+    """Per-partition lineage rows reconcile with the crawl totals
+    (north rule: partition id, dequeued, fetched, deduped, enqueued)."""
+    res = default_run
+    lin = res.lineage.groupBy().sum("dequeued", "fetched", "enqueued").collect()[0]
+    assert lin["sum(dequeued)"] == len(res.event_order())
+    assert lin["sum(fetched)"] == len(res.crawl_order())
+    # with no resume rows, everything ever enqueued = seen minus the seed
+    assert lin["sum(enqueued)"] == res.seen.count() - 1

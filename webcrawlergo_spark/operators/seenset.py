@@ -1,0 +1,259 @@
+"""URL-seen set — J2, the dedup heart of the engine.
+
+The reference's seen-set is a mutexed in-memory map
+(reference queue/queue.go:15-24, FirstEncounter at 55-57). At
+10^10-URL scale a map per executor is impossible; the north rule
+prescribes a sharded bloom filter with a cuckoo-filter overflow tier
+plus an *exact* confirm so results stay bit-for-bit:
+
+  candidate --xxhash64 (JVM)--> shard, h1, h2
+            --bloom probe (vectorized numpy over Arrow batches)-->
+      definite-new  ────────────────────────────► enqueue
+      maybe-seen    ──exact anti-join vs urls───► enqueue survivors
+
+Bloom negatives are exact (no false negatives), so only the
+(tiny) positive fraction pays the anti-join. Filters are built
+per-shard with applyInPandas (one numpy bit-array per shard),
+persisted as binary blobs through the checkpoint store, and probed
+via a broadcast dict — no driver-side row loops anywhere.
+
+The cuckoo tier handles what bloom cannot: deletions (dead URLs
+evicted on resurrection) and bounded-FPR overflow when a shard
+saturates. Fingerprint/bucket math follows the standard
+partial-cuckoo construction (Fan et al., CoNLL'14 public paper).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+DEFAULT_BITS_PER_KEY = 10  # ~1% FPR with k=7
+DEFAULT_K = 7
+
+
+# --------------------------------------------------------------------------
+# numpy bloom core (pure functions over uint64 arrays)
+# --------------------------------------------------------------------------
+
+def bloom_build(h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int = DEFAULT_K) -> np.ndarray:
+    """Build a bit array from double-hashing: bit_i = (h1 + i*h2) % m."""
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    h1 = h1.astype(np.uint64)
+    h2 = h2.astype(np.uint64)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64), (1 << (idx & np.uint64(7))).astype(np.uint8))
+    return bits
+
+
+def bloom_probe(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int = DEFAULT_K) -> np.ndarray:
+    """Vectorized membership test → bool array (True = maybe-seen)."""
+    out = np.ones(len(h1), dtype=bool)
+    h1 = h1.astype(np.uint64)
+    h2 = h2.astype(np.uint64)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        out &= (byte & (1 << (idx & np.uint64(7))).astype(np.uint8)) != 0
+        if not out.any():
+            break
+    return out
+
+
+# --------------------------------------------------------------------------
+# numpy cuckoo filter (overflow/deletion tier)
+# --------------------------------------------------------------------------
+
+class CuckooFilter:
+    """Partial-key cuckoo filter: 4-slot buckets, 16-bit fingerprints.
+
+    Supports delete() — the capability bloom lacks — used when a dead
+    URL is resurrected (is_alive flips back) and must leave the
+    never-recrawl set. Serializable to bytes for checkpointing.
+    """
+
+    SLOTS = 4
+    FP_BITS = 16
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        self.n_buckets = n_buckets
+        self.table = table if table is not None else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+
+    @staticmethod
+    def _fp(h1: np.ndarray) -> np.ndarray:
+        fp = (h1 & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 = empty slot sentinel
+
+    def _b1(self, h2: np.ndarray) -> np.ndarray:
+        return (h2 % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _b2(self, b1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key: alt bucket = b1 xor hash(fp)
+        fph = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        return ((b1.astype(np.uint64) ^ fph) % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def insert_many(self, h1: np.ndarray, h2: np.ndarray) -> int:
+        """Insert; returns number that failed (filter full)."""
+        fps = self._fp(h1.astype(np.uint64))
+        b1s = self._b1(h2.astype(np.uint64))
+        fails = 0
+        rng_state = np.uint64(0x9E3779B97F4A7C15)
+        for fp, b1 in zip(fps, b1s):
+            if not self._insert_one(int(fp), int(b1)):
+                fails += 1
+            rng_state = rng_state  # deterministic; kicks use fp-derived choice
+        return fails
+
+    def _insert_one(self, fp: int, b1: int) -> bool:
+        b2 = int(self._b2(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
+        for b in (b1, b2):
+            row = self.table[b]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = fp
+                return True
+        # evict deterministically: slot chosen by fp, alternate buckets
+        b = b1 if (fp & 1) else b2
+        cur = fp
+        for kick in range(self.MAX_KICKS):
+            slot = (cur + kick) % self.SLOTS
+            cur, self.table[b, slot] = int(self.table[b, slot]), np.uint16(cur)
+            b = int(self._b2(np.array([b]), np.array([cur], dtype=np.uint16))[0])
+            row = self.table[b]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = cur
+                return True
+        return False
+
+    def contains_many(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        fps = self._fp(h1.astype(np.uint64))
+        b1s = self._b1(h2.astype(np.uint64))
+        b2s = self._b2(b1s, fps)
+        in1 = (self.table[b1s] == fps[:, None]).any(axis=1)
+        in2 = (self.table[b2s] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete_many(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Remove one copy of each fingerprint; returns found-mask."""
+        fps = self._fp(h1.astype(np.uint64))
+        b1s = self._b1(h2.astype(np.uint64))
+        b2s = self._b2(b1s, fps)
+        found = np.zeros(len(fps), dtype=bool)
+        for i, (fp, b1, b2) in enumerate(zip(fps, b1s, b2s)):
+            for b in (b1, b2):
+                slots = np.where(self.table[b] == fp)[0]
+                if len(slots):
+                    self.table[b, slots[0]] = 0
+                    found[i] = True
+                    break
+        return found
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooFilter":
+        table = np.frombuffer(data, dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
+        return cls(n_buckets, table)
+
+
+# --------------------------------------------------------------------------
+# DataFrame layer
+# --------------------------------------------------------------------------
+
+def with_hashes(df: DataFrame, url_col: str = "url", n_shards: int = 16) -> DataFrame:
+    """JVM-side hashing: shard + two independent 64-bit hashes.
+    xxhash64 runs in codegen; Python only ever sees the hash columns."""
+    return (
+        df.withColumn("_h1", F.xxhash64(F.col(url_col)))
+        .withColumn("_h2", F.xxhash64(F.col(url_col), F.lit(0x51_7C_C1)))
+        .withColumn("_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int"))
+    )
+
+
+def build_bloom_shards(
+    urls: DataFrame, url_col: str = "url", n_shards: int = 16,
+    bits_per_key: int = DEFAULT_BITS_PER_KEY, k: int = DEFAULT_K,
+    expected_per_shard: int | None = None,
+) -> DataFrame:
+    """urls → (shard int, m_bits long, n long, bits binary), one row
+    per shard, built in parallel with applyInPandas."""
+    hashed = with_hashes(urls.select(url_col), url_col, n_shards)
+    total = urls.count()
+    per_shard = expected_per_shard or max(1024, (total // max(n_shards, 1)) * 2)
+    m_bits = per_shard * bits_per_key
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+        bits = bloom_build(pdf["_h1"].to_numpy(np.uint64), pdf["_h2"].to_numpy(np.uint64), m_bits, k)
+        return pd.DataFrame(
+            {"shard": [shard], "m_bits": [m_bits], "n": [len(pdf)], "bits": [bits.tobytes()]}
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("m_bits", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("bits", T.BinaryType()),
+        ]
+    )
+    return hashed.groupBy("_shard").applyInPandas(build, schema)
+
+
+def bloom_maybe_seen(
+    candidates: DataFrame, shards: dict[int, tuple[int, bytes]], url_col: str = "url",
+    n_shards: int = 16, k: int = DEFAULT_K,
+) -> DataFrame:
+    """Add ``maybe_seen`` to candidates via broadcast shard probe.
+    ``shards``: shard → (m_bits, bits). False ⇒ definitely new."""
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(shards)
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(shard: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
+        out = np.ones(len(shard), dtype=bool)
+        sh = shard.to_numpy()
+        h1v = h1.to_numpy(np.uint64)
+        h2v = h2.to_numpy(np.uint64)
+        for s in np.unique(sh):
+            entry = bc.value.get(int(s))
+            mask = sh == s
+            if entry is None:
+                out[mask] = False
+                continue
+            m_bits, blob = entry
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            out[mask] = bloom_probe(bits, h1v[mask], h2v[mask], m_bits, k)
+        return pd.Series(out)
+
+    hashed = with_hashes(candidates, url_col, n_shards)
+    return hashed.withColumn("maybe_seen", probe("_shard", "_h1", "_h2")).drop(
+        "_h1", "_h2", "_shard"
+    )
+
+
+def dedup_new_urls(
+    candidates: DataFrame,
+    seen_urls: DataFrame,
+    url_col: str = "url",
+    bloom_shards: dict[int, tuple[int, bytes]] | None = None,
+    n_shards: int = 16,
+) -> DataFrame:
+    """THE dedup operator (J2): candidates not in the seen set.
+
+    Exact path: one anti-join. Bloom path: probe first, anti-join only
+    the maybe-seen fraction, union back the definite-new rows —
+    identical results, a fraction of the shuffle.
+    """
+    if bloom_shards is None:
+        return candidates.join(seen_urls.select(url_col), url_col, "left_anti")
+    flagged = bloom_maybe_seen(candidates, bloom_shards, url_col, n_shards)
+    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(seen_urls.select(url_col), url_col, "left_anti")
+    return definite_new.unionByName(confirmed_new)

@@ -1,0 +1,115 @@
+"""Checkpoint store — Parquet + atomic manifest (Iceberg-degraded).
+
+The north rule wants every wave committed to Iceberg so a killed job
+resumes losslessly. The sandbox image has no Iceberg jar, so the same
+contract is implemented as Parquet snapshots plus a JSON manifest
+committed by atomic rename — the Iceberg idea (immutable data files +
+a pointer flip) in 60 lines. The interface is commit/latest/load so a
+real Iceberg catalog can slot in unchanged (spark.table + MERGE INTO)
+when the runtime jar is present.
+
+Layout:
+    <root>/<table>/wave=<n>/*.parquet     immutable snapshot data
+    <root>/_manifest.json.tmp → rename → <root>/_manifest.json
+
+A manifest names the exact wave directory per table, so a crash
+between table writes and the rename leaves the previous manifest
+(and therefore the previous consistent state) in force — the
+snapshot-isolation property that replaces the reference's
+SQLite WAL checkpoint (reference models/sqlite/sqlite.go:99-109) and
+row-version CAS (reference models/url.go:36-40).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def latest(self) -> dict | None:
+        """The last committed manifest, or None."""
+        if not os.path.exists(self._manifest_path):
+            return None
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def commit(
+        self,
+        wave_id: int,
+        tables: dict[str, DataFrame],
+        appends: dict[str, DataFrame] | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """Write table snapshots + append-only deltas, then atomically
+        flip the manifest.
+
+        ``tables`` are full snapshots (frontier, seen, …) — rewritten
+        per wave. ``appends`` are append-only logs (events, pages,
+        lineage): only this wave's delta is written; the manifest
+        carries the cumulative file list, so commit cost is O(delta),
+        not O(history) — the property that makes per-wave commits
+        affordable at 10^10 events.
+        """
+        prev = self.latest() or {"append_tables": {}}
+        entry: dict = {
+            "wave_id": wave_id,
+            "tables": {},
+            "append_tables": {k: list(v) for k, v in prev.get("append_tables", {}).items()},
+            "meta": meta or {},
+        }
+        for name, df in tables.items():
+            path = os.path.join(self.root, name, f"wave={wave_id}")
+            df.write.mode("overwrite").parquet(path)
+            entry["tables"][name] = path
+        for name, df in (appends or {}).items():
+            path = os.path.join(self.root, name, f"wave={wave_id}")
+            df.write.mode("overwrite").parquet(path)
+            entry["append_tables"].setdefault(name, []).append(path)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, self._manifest_path)  # atomic pointer flip
+        self._gc(keep_wave=wave_id, protect=entry["append_tables"])
+        return entry
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame | None:
+        m = self.latest()
+        if m is None:
+            return None
+        if table in m["tables"]:
+            return spark.read.parquet(m["tables"][table])
+        paths = m.get("append_tables", {}).get(table)
+        if paths:
+            return spark.read.parquet(*paths)
+        return None
+
+    def _gc(self, keep_wave: int, keep_last: int = 2, protect: dict | None = None) -> None:
+        """Drop snapshot dirs older than the last ``keep_last`` waves,
+        never touching paths referenced by append tables."""
+        protected = {p for paths in (protect or {}).values() for p in paths}
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            waves = sorted(
+                (int(d.split("=")[1]) for d in os.listdir(tdir) if d.startswith("wave=")),
+            )
+            for w in waves[:-keep_last]:
+                path = os.path.join(tdir, f"wave={w}")
+                if path not in protected:
+                    shutil.rmtree(path, ignore_errors=True)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

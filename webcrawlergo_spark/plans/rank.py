@@ -1,0 +1,63 @@
+"""Deterministic global sequence numbers without a single-partition sort.
+
+The crawl-order contract (SURVEY §3.1) needs a *global* event rank per
+wave. A naive ``row_number() OVER (ORDER BY ...)`` collapses to one
+partition — fine at test scale, a straggler at 10^10 rows. Instead:
+
+1. range-repartition on the ordering key (parallel sort),
+2. per-partition ``row_number`` (no exchange — partition-local),
+3. add per-partition offsets computed from partition counts (tiny
+   driver-side cumulative sum — #partitions values, not #rows).
+
+This is the classic zipWithIndex recipe expressed in DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+SMALL_BATCH = 100_000
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str,
+    start: int = 0,
+    partitions: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Add ``rank_col``: the 0-based global rank of each row under
+    ``order_cols`` (+ a final total ordering assumed unique).
+
+    When the caller already knows the batch is small (``n_rows``),
+    skip the range-partition machinery: a single-partition window is
+    cheaper than three extra jobs below ~10^5 rows.
+    """
+    if n_rows is not None and n_rows <= SMALL_BATCH:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(rank_col, (F.row_number().over(w) - 1 + start).cast("long"))
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    parted = df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(*[F.col(c) for c in order_cols])
+    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local_rn", F.row_number().over(w)
+    )
+    # localCheckpoint pins the partitioning: the count-per-partition pass
+    # and the final pass must see identical partition layouts.
+    local = local.localCheckpoint(eager=True)
+    counts = {r["_pid"]: r["cnt"] for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, start)], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(rank_col, (F.coalesce(F.col("_off"), F.lit(start)) + F.col("_local_rn") - 1).cast("long"))
+        .drop("_pid", "_local_rn", "_off")
+    )

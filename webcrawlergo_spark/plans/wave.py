@@ -1,0 +1,463 @@
+"""The frontier wave-loop engine — the Spark-native re-expression of
+the reference's goroutine crawl loop (reference crawler.go:163-332).
+
+Execution model: BFS-by-depth iterative micro-batches ("waves") over
+DataFrames. One wave =
+
+  dequeue batch (politeness-capped per host)
+  → global event-rank assignment (plans/rank.py — the FIFO clock)
+  → fetch-sim join against the web index
+  → retry / dead-mark / skip status handling (T3, T4)
+  → link extraction (X1, operators/linkextract.py)
+  → canonicalize (X2 pandas UDF, functions/urlnorm.py)
+  → validate (P7-P14 + robots X3, operators/validate.py)
+  → first-encounter dedup (J2, operators/seenset.py: exact anti-join
+    or bloom-shard prefilter + exact confirm)
+  → state MERGE (urls flags, pages append, seen, invalid)
+  → checkpoint commit + per-partition lineage (T5)
+
+FIFO-order equivalence: the reference's single-worker queue processes
+items in enqueue order; every item enqueued during wave w is
+processed after all wave-w items (they were all enqueued earlier).
+Hence sorting each wave by the enqueue key
+
+    (parent_rank, span_offset, link_pos)
+
+— where parent_rank is the enqueuing fetch-event's global rank,
+retries use (own_event_rank, -1, 0) to model InsertForce-at-failure
+(reference crawler.go:197-203), seed uses (-2, 0, 0) and resume rows
+(-1, load_seq, 0) (reference cmd/webcrawlerGo/crawl.go:27-30 then
+init.go:21-106) — reproduces the n=1 crawl order *exactly*, while
+each wave executes fully parallel. Order is a computed column, never
+an execution accident (SURVEY §3.1 contract).
+
+Politeness: the reference sleeps RequestDelay per worker
+(crawler.go:326) — a rate, not a reordering. The engine models it as
+a virtual-time schedule (per-host fetch seq × delay, reported in
+lineage) plus an optional hard per-host-per-wave cap
+(``politeness_max_per_host_per_wave``) that defers overflow rows to
+the next wave. The cap changes scheduling, never the seen-set; order
+parity is guaranteed in the default (uncapped) mode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.urlnorm import make_normalize_udf
+from ..operators.linkextract import extract_links
+from ..operators.seenset import build_bloom_shards, dedup_new_urls
+from ..operators.validate import marked_flag, parse_robots_rules, robots_ok_expr, validity_flag
+from .checkpoint import CheckpointStore
+from .rank import with_global_rank
+
+FRONTIER_COLS = "url string, host string, depth int, parent_rank long, span_offset int, link_pos int, should_fetch boolean, retry_count int"
+
+
+@dataclass
+class CrawlConfig:
+    base_url: str
+    marked_paths: list[str] = field(default_factory=list)
+    ignore_patterns: list[str] = field(default_factory=list)
+    retry_times: int = 2
+    request_delay_ms: int = 50
+    update_days: int = 1
+    now_ts: float = 1_700_000_000.0
+    seen_mode: str = "exact"  # "exact" | "bloom"
+    n_shards: int = 16
+    politeness_max_per_host_per_wave: int | None = None
+    checkpoint_dir: str | None = None
+    update_hrefs: bool = False
+    max_waves: int = 10_000
+
+
+@dataclass
+class CrawlResult:
+    events: DataFrame      # (event_rank, wave_id, url, status) — every dequeue
+    urls: DataFrame        # registry with flags
+    pages: DataFrame       # saved content log (url, doc_id, event_rank)
+    seen: DataFrame        # the queue-map key set
+    invalid: DataFrame     # known-invalid cache
+    lineage: DataFrame     # per-wave per-partition metrics
+    waves: int = 0
+
+    def crawl_order(self) -> list[str]:
+        return [
+            r["url"]
+            for r in self.events.filter(F.col("status") == "ok").orderBy("event_rank").collect()
+        ]
+
+    def event_order(self) -> list[str]:
+        return [r["url"] for r in self.events.orderBy("event_rank").collect()]
+
+
+def _host(col):
+    return F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]+)", 1)
+
+
+class CrawlEngine:
+    """One engine instance per crawl run (single-writer-per-wave —
+    the snapshot-isolation stance that replaces the reference's
+    optimistic row locking, reference models/url.go:36-40)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        web_index: DataFrame,   # (url, doc_id, status, fail_times) fetch-sim table
+        docs: DataFrame,        # (doc_id, spans)
+        robots_rows: list[tuple[str, str, int]],  # (host, robots_txt, status)
+        config: CrawlConfig,
+    ):
+        self.spark = spark
+        self.web_index = web_index
+        self.docs = docs
+        self.cfg = config
+        self.base_host = config.base_url.split("://", 1)[1].split("/", 1)[0].split(":")[0]
+        rules = parse_robots_rules(spark, robots_rows).collect()
+        self._robots_ok = robots_ok_expr([tuple(r) for r in rules])
+        self._normalize = make_normalize_udf(config.base_url)
+
+    # -- state init ---------------------------------------------------------
+
+    def _empty(self, schema: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _seed_frontier(
+        self, resume_urls: DataFrame | None
+    ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+        """Returns (frontier, urls, seen, fetch_flags) mirroring
+        beginCrawl + loadUrlsToQueue. ``fetch_flags`` is the queue
+        map's *value* side (reference queue/queue.go:15-17) — shared
+        mutable state, kept as its own table because duplicate queue
+        occurrences of one URL observe each other's updates."""
+        cfg = self.cfg
+        spark = self.spark
+        base = cfg.base_url.rstrip("/")
+        # seed (crawl.go:27-30): queue position 0, urls row, map entry
+        frontier_rows = [(base, self.base_host, 0, -2, 0, 0, False, 0)]
+        urls = spark.createDataFrame(
+            [(base, False, True, None)], "url string, is_monitored boolean, is_alive boolean, last_saved double"
+        )
+        seen_rows = [(base,)]
+        flags: dict[str, bool] = {base: False}
+        if resume_urls is not None:
+            # classification (init.go:21-106), ORDER BY is_monitored ASC, id ASC (O3)
+            rows = resume_urls.orderBy(F.col("is_monitored").asc(), F.col("id").asc()).collect()
+            seq = 0
+            resume_urls_tbl = []
+            for r in rows:
+                url, mon, alive = r["url"], bool(r["is_monitored"]), bool(r["is_alive"])
+                last_saved = r["last_saved"]
+                resume_urls_tbl.append([url, mon, alive, last_saved])
+                if not alive:
+                    seen_rows.append((url,))
+                    flags[url] = False
+                    continue
+                if any(p in url for p in cfg.ignore_patterns):
+                    continue
+                host = url.split("://", 1)[1].split("/", 1)[0].split(":")[0] if "://" in url else ""
+                if host != self.base_host:
+                    continue
+                expiry = (last_saved or 0.0) + cfg.update_days * 86400
+                fetch = (mon and cfg.now_ts >= expiry) or (
+                    not mon and any(m in url for m in cfg.marked_paths)
+                )
+                if not mon and any(m in url for m in cfg.marked_paths):
+                    resume_urls_tbl[-1][1] = True  # mark monitored (init.go:81-86)
+                if fetch:
+                    frontier_rows.append((url, host, 0, -1, seq, 0, True, 0))
+                    seq += 1
+                    seen_rows.append((url,))
+                    flags[url] = True   # InsertForce(false) then SetMapValue(true), init.go:93-94
+                elif cfg.update_hrefs:
+                    frontier_rows.append((url, host, 0, -1, seq, 0, False, 0))
+                    seq += 1
+                    seen_rows.append((url,))
+                    flags[url] = False
+                else:
+                    seen_rows.append((url,))
+                    flags[url] = False
+            if resume_urls_tbl:
+                extra = spark.createDataFrame(
+                    [tuple(r) for r in resume_urls_tbl],
+                    "url string, is_monitored boolean, is_alive boolean, last_saved double",
+                )
+                # seed Insert is a no-op when the URL already exists (unique
+                # constraint ignored, crawl.go:29-30) — DB row wins
+                urls = extra.unionByName(urls.join(extra, "url", "left_anti"))
+        frontier = spark.createDataFrame(frontier_rows, FRONTIER_COLS)
+        seen = spark.createDataFrame(sorted(set(seen_rows)), "url string")
+        fetch_flags = spark.createDataFrame(sorted(flags.items()), "url string, flag boolean")
+        return frontier, urls, seen, fetch_flags
+
+    # -- the wave loop ------------------------------------------------------
+
+    def run(self, resume_urls: DataFrame | None = None, resume: bool = False) -> CrawlResult:
+        cfg = self.cfg
+        spark = self.spark
+        store = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+
+        events_schema = "event_rank long, wave_id int, url string, status string"
+        pages_schema = "url string, doc_id string, event_rank long"
+        lineage_schema = (
+            "wave_id int, partition_id int, dequeued long, fetched long, deduped long, enqueued long"
+        )
+        # append-only logs accumulate as per-wave deltas — unioned
+        # lazily, checkpointed as deltas (O(wave), not O(history))
+        events_deltas: list[DataFrame] = []
+        pages_deltas: list[DataFrame] = []
+        lineage_deltas: list[DataFrame] = []
+
+        if resume and store and store.latest():
+            m = store.latest()
+            frontier = store.load(spark, "frontier")
+            urls = store.load(spark, "urls")
+            seen = store.load(spark, "seen")
+            fetch_flags = store.load(spark, "fetch_flags")
+            invalid = store.load(spark, "invalid")
+            for deltas, name in ((events_deltas, "events"), (pages_deltas, "pages"), (lineage_deltas, "lineage")):
+                prior = store.load(spark, name)
+                if prior is not None:
+                    deltas.append(prior)
+            event_base = int(m["meta"]["event_base"])
+            wave_id = int(m["wave_id"]) + 1
+        else:
+            frontier, urls, seen, fetch_flags = self._seed_frontier(resume_urls)
+            invalid = self._empty("url string")
+            event_base = 0
+            wave_id = 0
+        while wave_id < cfg.max_waves:
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+            # politeness cap (T1): per-host quota, overflow defers
+            if cfg.politeness_max_per_host_per_wave is not None:
+                w = Window.partitionBy("host").orderBy("parent_rank", "span_offset", "link_pos")
+                ranked = frontier.withColumn("_hseq", F.row_number().over(w))
+                batch = ranked.filter(F.col("_hseq") <= cfg.politeness_max_per_host_per_wave).drop("_hseq")
+                deferred = ranked.filter(F.col("_hseq") > cfg.politeness_max_per_host_per_wave).drop("_hseq")
+            else:
+                batch, deferred = frontier, self._empty(FRONTIER_COLS)
+
+            # FIFO clock: global event ranks for this wave
+            n_events = batch.count()
+            batch = with_global_rank(
+                batch, ["parent_rank", "span_offset", "link_pos"], "event_rank",
+                start=event_base, n_rows=n_events,
+            )
+            event_base += n_events
+
+            # fetch-sim (S1): deterministic synthetic responses
+            web = self.web_index.select(
+                "url", F.col("doc_id").alias("_doc_id"),
+                F.col("status").alias("_status"), F.col("fail_times").alias("_ft"),
+            )
+            sim = (
+                batch.join(web, "url", "left")
+                .join(fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left")
+                .select(
+                    *[F.col(c) for c in batch.columns],
+                    F.col("_doc_id").alias("doc_id"),
+                    F.coalesce(F.col("_status"), F.lit(404)).alias("http_status"),
+                    F.coalesce(F.col("_ft"), F.lit(0)).alias("fail_times"),
+                    F.coalesce(F.col("_flag_in"), F.lit(False)).alias("flag_in"),
+                )
+            )
+            sim = sim.withColumn("transport_fail", F.col("retry_count") < F.col("fail_times"))
+            # the map value a dequeue observes: entering flag, unless an
+            # earlier event of the same URL *this wave* consumed it (a
+            # 200 fetch saves+resets, a transport failure InsertForce-
+            # resets; 404/skip leave it untouched)
+            w_url = Window.partitionBy("url").orderBy("event_rank").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            consuming = (F.col("transport_fail") | (F.col("http_status") == 200)).cast("long")
+            sim = sim.withColumn(
+                "flag_at",
+                F.col("flag_in") & (F.coalesce(F.sum(consuming).over(w_url), F.lit(0)) == 0),
+            )
+            sim = sim.localCheckpoint(eager=True)
+
+            retries = (
+                sim.filter(F.col("transport_fail") & (F.col("retry_count") < F.lit(cfg.retry_times)))
+                .select(
+                    "url", "host", "depth",
+                    F.col("event_rank").alias("parent_rank"),
+                    F.lit(-1).alias("span_offset"), F.lit(0).alias("link_pos"),
+                    F.lit(False).alias("should_fetch"),  # InsertForce resets the map value (queue/queue.go:124)
+                    (F.col("retry_count") + 1).alias("retry_count"),
+                )
+            )
+            ok = sim.filter(~F.col("transport_fail") & (F.col("http_status") == 200))
+            dead = sim.filter(~F.col("transport_fail") & (F.col("http_status") == 404)).select("url")
+
+            wave_events = sim.select(
+                "event_rank", F.lit(wave_id).alias("wave_id"), "url",
+                F.when(F.col("transport_fail"), "fail")
+                .when(F.col("http_status") == 200, "ok")
+                .when(F.col("http_status") == 404, "notfound")
+                .otherwise("skip")
+                .alias("status"),
+            )
+            events_deltas.append(wave_events)
+
+            # X1 + X2: extract → canonicalize → split empty/known-invalid
+            raw_links = extract_links(
+                ok.join(self.docs, "doc_id").select("url", "event_rank", "depth", "spans"),
+                id_cols=["url", "event_rank", "depth"],
+            ).withColumnRenamed("url", "parent_url")
+            norm = raw_links.withColumn("_n", self._normalize(F.col("raw_href"))).select(
+                "parent_url", "event_rank", "depth", "span_offset", "link_pos",
+                F.col("_n.href").alias("href"), F.col("_n.scheme").alias("scheme"),
+                F.col("_n.host").alias("host"), F.col("_n.path").alias("path"),
+            ).filter(F.col("href").isNotNull())
+            norm = norm.join(invalid.withColumnRenamed("url", "href"), "href", "left_anti")  # P13
+            judged = validity_flag(norm, self.base_host, cfg.ignore_patterns).withColumn(
+                "valid", F.col("pre_ok") & self._robots_ok
+            )
+            judged = judged.localCheckpoint(eager=True)
+
+            new_invalid = (
+                judged.filter(~F.col("valid")).select(F.col("href").alias("url")).distinct()
+                .join(invalid, "url", "left_anti")
+            )
+            invalid = invalid.unionByName(new_invalid).localCheckpoint(eager=True)
+
+            # first-encounter dedup (J2): min enqueue key within the wave,
+            # then anti-join the seen set (exact or bloom+confirm)
+            firsts = (
+                judged.filter(F.col("valid"))
+                .groupBy("href")
+                .agg(
+                    F.min(F.struct("event_rank", "span_offset", "link_pos", "depth", "host")).alias("k")
+                )
+                .select(
+                    F.col("href").alias("url"),
+                    F.col("k.host").alias("host"),
+                    (F.col("k.depth") + 1).alias("depth"),
+                    F.col("k.event_rank").alias("parent_rank"),
+                    F.col("k.span_offset").alias("span_offset"),
+                    F.col("k.link_pos").alias("link_pos"),
+                )
+            )
+            if cfg.seen_mode == "bloom":
+                shards = {
+                    r["shard"]: (r["m_bits"], bytes(r["bits"]))
+                    for r in build_bloom_shards(seen, n_shards=cfg.n_shards).collect()
+                }
+                new_urls = dedup_new_urls(firsts, seen, bloom_shards=shards, n_shards=cfg.n_shards)
+            else:
+                new_urls = dedup_new_urls(firsts, seen)
+            new_urls = marked_flag(new_urls, cfg.marked_paths, url_col="url").localCheckpoint(eager=True)
+
+            enqueued = new_urls.select(
+                "url", "host", "depth", "parent_rank", "span_offset", "link_pos",
+                F.col("marked").alias("should_fetch"), F.lit(0).alias("retry_count"),
+            )
+
+            # state MERGE: urls registry (S6/S7 without row CAS)
+            urls = (
+                urls.join(dead.withColumn("_dead", F.lit(True)), "url", "left")
+                .withColumn("is_alive", F.when(F.col("_dead"), F.lit(False)).otherwise(F.col("is_alive")))
+                .drop("_dead")
+                .unionByName(
+                    new_urls.select(
+                        "url", F.col("marked").alias("is_monitored"),
+                        F.lit(True).alias("is_alive"), F.lit(None).cast("double").alias("last_saved"),
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+            seen = seen.unionByName(enqueued.select("url")).distinct().localCheckpoint(eager=True)
+
+            # exactly-once content save (T6): marked OR live map value
+            # (reference crawler.go:300-311)
+            saved = marked_flag(ok, cfg.marked_paths, url_col="url").filter(
+                F.col("marked") | F.col("flag_at")
+            )
+            pages_deltas.append(saved.select("url", "doc_id", "event_rank"))
+
+            # map-value updates for the next wave: any consuming event
+            # (save/fail) resets to false; fresh discoveries enter with
+            # their marked flag (SetMapValue(true) at crawler.go:276-278,
+            # Insert default false at queue/queue.go:104)
+            consumed = (
+                sim.filter(F.col("transport_fail") | (F.col("http_status") == 200))
+                .select("url").distinct().withColumn("_new_flag", F.lit(False))
+            )
+            fetch_flags = (
+                fetch_flags.join(consumed, "url", "left")
+                .select(
+                    "url",
+                    F.when(F.col("_new_flag").isNotNull(), F.lit(False)).otherwise(F.col("flag")).alias("flag"),
+                )
+                .unionByName(new_urls.select("url", F.col("marked").alias("flag")))
+                .localCheckpoint(eager=True)
+            )
+
+            # lineage (A3): per host-shard metrics for this wave
+            shard = F.pmod(F.xxhash64("host"), F.lit(cfg.n_shards)).cast("int")
+            lin = (
+                sim.select(
+                    shard.alias("partition_id"),
+                    F.lit(1).alias("dq"),
+                    (~F.col("transport_fail") & (F.col("http_status") == 200)).cast("long").alias("f"),
+                )
+                .groupBy("partition_id")
+                .agg(F.sum("dq").alias("dequeued"), F.sum("f").alias("fetched"))
+            )
+            enq = enqueued.select(shard.alias("partition_id")).groupBy("partition_id").agg(F.count("*").alias("enqueued"))
+            dup = (
+                firsts.select(shard.alias("partition_id")).groupBy("partition_id").agg(F.count("*").alias("cand"))
+            )
+            lin = (
+                lin.join(enq, "partition_id", "full")
+                .join(dup, "partition_id", "full")
+                .select(
+                    F.lit(wave_id).alias("wave_id"),
+                    "partition_id",
+                    F.coalesce("dequeued", F.lit(0)).alias("dequeued"),
+                    F.coalesce("fetched", F.lit(0)).alias("fetched"),
+                    (F.coalesce("cand", F.lit(0)) - F.coalesce("enqueued", F.lit(0))).alias("deduped"),
+                    F.coalesce("enqueued", F.lit(0)).alias("enqueued"),
+                )
+            )
+            lineage_deltas.append(lin)
+
+            frontier = retries.unionByName(deferred).unionByName(enqueued)
+
+            if store:
+                store.commit(
+                    wave_id,
+                    {
+                        "frontier": frontier, "urls": urls, "seen": seen,
+                        "fetch_flags": fetch_flags, "invalid": invalid,
+                    },
+                    appends={
+                        "events": events_deltas[-1],
+                        "pages": pages_deltas[-1],
+                        "lineage": lineage_deltas[-1],
+                    },
+                    meta={"event_base": event_base},
+                )
+            wave_id += 1
+
+        def _acc(deltas: list[DataFrame], schema: str) -> DataFrame:
+            if not deltas:
+                return self._empty(schema)
+            out = deltas[0]
+            for d in deltas[1:]:
+                out = out.unionByName(d)
+            return out
+
+        return CrawlResult(
+            events=_acc(events_deltas, events_schema),
+            urls=urls,
+            pages=_acc(pages_deltas, pages_schema),
+            seen=seen,
+            invalid=invalid,
+            lineage=_acc(lineage_deltas, lineage_schema),
+            waves=wave_id,
+        )
