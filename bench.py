@@ -1,0 +1,246 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "crawl": {urls_per_sec, events, waves, ...},
+     "scaling": {...}}   # when --scaling / SPARK_GRAFT_SCALING=1
+
+Two workloads:
+1. Headline relational/training queries at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+2. The frontier crawl bench — the authoritative BASELINE.json metric:
+   frontier URLs processed/sec through the full wave pipeline
+   (dequeue → event-rank → fetch-sim → extract → canonicalize →
+   validate → dedup → enqueue) over a distributed deterministic
+   multi-host web (~2M pages/sf, 25% of pages on a single mega-host
+   to exercise skew), BFS from one seed to frontier exhaustion.
+
+--scaling additionally reruns the crawl bench at local[8] vs
+local[32] on identical input and reports
+efficiency = (urls_per_sec@32 / 32) / (urls_per_sec@8 / 8),
+the sandbox stand-in for the N-vs-4N-executors criterion (no real
+cluster here). Results are also appended to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline queries: one per operator family (full set runs under the
+# driver's correctness gate; bench times the expensive shapes)
+HEADLINE = [
+    "latest_pages",
+    "group_agg_lineitem",
+    "topk_orders",
+    "urls_never_fetched",
+    "href_token_extract",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "crawl_bfs_depth",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # execute the full plan; don't ship rows to the driver
+        out[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def crawl_bench(
+    spark,
+    n_pages: int,
+    seen_mode: str = "exact",
+    links_per_page: int = 16,
+    seed_frac: int = 20,  # 1/seed_frac of pages are seeds (the seed list)
+) -> dict:
+    """The frontier throughput workload (BASELINE.json metric).
+
+    A wide seed list (5% of pages) + 16 links/page keeps every wave
+    large, so the measurement is pipeline throughput, not per-wave
+    scheduling overhead — the regime a 10^10-URL frontier lives in.
+    """
+    from pyspark.sql import functions as F
+
+    from webcrawlergo_spark.plans.wave import CrawlConfig, CrawlEngine
+    from webcrawlergo_spark.sources.synthweb import scale_web_df
+
+    web = scale_web_df(spark, n_pages=n_pages, links_per_page=links_per_page).localCheckpoint(
+        eager=True
+    )
+    # spans carry real <a href> markup inside filler prose so the bench
+    # exercises the true scan→extract→canonicalize path over realistic
+    # page-sized text, not a links-only shortcut
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("page_id"), i), 99991).cast("string")),
+        ),
+    )
+    docs = web.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat_ws(
+                    " ",
+                    filler,
+                    F.concat_ws(
+                        " ",
+                        F.transform(F.col("links"), lambda l: F.concat(F.lit('some text <a href="'), l, F.lit('"> anchor'))),
+                    ),
+                    filler,
+                ).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    ).localCheckpoint(eager=True)
+    index = web.select("url", "doc_id", F.lit(200).alias("status"), F.lit(0).alias("fail_times"))
+    index = index.localCheckpoint(eager=True)
+
+    seed_url = web.filter(F.col("page_id") == 0).select("url").collect()[0]["url"]
+    seeds = (
+        web.filter((F.col("page_id") % seed_frac == 0) & (F.col("page_id") != 0))
+        .select(
+            "url", "host", F.lit(0).alias("depth"),
+            F.lit(-1).cast("long").alias("parent_rank"),
+            F.col("page_id").cast("int").alias("span_offset"),
+            F.lit(0).alias("link_pos"),
+            F.lit(False).alias("should_fetch"), F.lit(0).alias("retry_count"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cfg = CrawlConfig(
+        base_url=seed_url,
+        marked_paths=[],
+        ignore_patterns=[],
+        retry_times=0,
+        same_host_only=False,
+        seen_mode=seen_mode,
+        analyze_pages=True,  # crawl-time analytics: the full pipeline
+    )
+    eng = CrawlEngine(spark, index, docs, [], cfg)
+    t0 = time.time()
+    res = eng.run(extra_frontier=seeds)
+    n_events = res.events.count()
+    n_stats = res.page_stats.count()
+    dt = time.time() - t0
+    return {
+        "n_pages": n_pages,
+        "events": n_events,
+        "pages_analyzed": n_stats,
+        "waves": res.waves,
+        "seconds": round(dt, 2),
+        "urls_per_sec": round(n_events / dt, 1),
+        "seen_mode": seen_mode,
+    }
+
+
+def make_spark(cpus: int):
+    from webcrawlergo_spark.session import get_spark
+
+    return get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+
+
+def main() -> None:
+    sf = sf_of(SF_DIR)
+    n_pages = max(10_000, int(2_000_000 * sf))
+    do_scaling = "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1"
+
+    t_start = time.time()
+    spark = make_spark(CPUS)
+    # JIT/session warmup so per-query numbers measure the plan, not
+    # first-query JVM compilation
+    spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    spark.range(1_000_000).selectExpr("md5(cast(id as string)) h").agg({"h": "max"}).collect()
+    queries = run_queries(spark, SF_DIR)
+    crawl_bench(spark, max(10_000, n_pages // 4))  # crawl warmup
+    crawl = crawl_bench(spark, n_pages)
+    result = {
+        "metric": "frontier URLs processed/sec (dequeue→fetch-sim→dedup→enqueue) + headline query suite",
+        "value": round(time.time() - t_start, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "crawl": crawl,
+    }
+
+    if do_scaling:
+        spark.stop()
+        result["scaling"] = run_scaling(n_pages=500_000)
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+def run_scaling(n_pages: int, n_lo: int = 8, n_hi: int = 32, reps: int = 3) -> dict:
+    """N-vs-4N scaling evidence (sandbox stand-in for two cluster sizes).
+
+    The host VM shows ±40% run-to-run noise, so each leg runs ``reps``
+    times *interleaved* (lo, hi, lo, hi, …) and the MEDIAN seconds per
+    leg is reported. Each leg gets one small JIT-warmup crawl in its
+    fresh JVM before measuring.
+    """
+    import statistics
+
+    times: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    for rep in range(reps):
+        for n in (n_lo, n_hi):
+            spark = make_spark(n)
+            crawl_bench(spark, 150_000)  # JIT warmup (fresh JVM every leg)
+            r = crawl_bench(spark, n_pages)
+            times[n].append(r["seconds"])
+            events = r["events"]
+            spark.stop()
+    t_lo = statistics.median(times[n_lo])
+    t_hi = statistics.median(times[n_hi])
+    rate_lo, rate_hi = events / t_lo, events / t_hi
+    return {
+        "n_pages": n_pages,
+        "cores": [n_lo, n_hi],
+        "seconds_all": times,
+        f"urls_per_sec@{n_lo}": round(rate_lo, 1),
+        f"urls_per_sec@{n_hi}": round(rate_hi, 1),
+        "speedup": round(rate_hi / rate_lo, 3),
+        "efficiency": round((rate_hi / n_hi) / (rate_lo / n_lo), 3),
+    }
+
+
+if __name__ == "__main__":
+    main()

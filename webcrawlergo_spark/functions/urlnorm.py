@@ -71,6 +71,40 @@ def make_normalize_udf(base_url: str):
     return normalize
 
 
+def normalize_expr(base_url: str, raw):
+    """JVM-codegen twin of the pandas canonicalizer: identical
+    semantics, zero Python in the stage (tests assert equality with
+    ``_normalize_pd`` over the full href taxonomy).
+
+    This is the engine's default hot path — whole-stage-codegen regex
+    beats Arrow round-trips; the pandas UDF remains the extension
+    surface for transforms that genuinely need Python.
+    """
+    s = F.trim(raw)
+    s = F.regexp_replace(s, r"/$", "")  # TrimSuffix: one trailing slash
+    is_empty = s == ""
+    is_abs = s.rlike(_ABS_RE)
+    blacklisted = F.lit(False)
+    for p in INVALID_PREFIXES:
+        blacklisted = blacklisted | s.startswith(p)
+    needs_resolve = ~is_abs & ~blacklisted & ~is_empty
+    resolved = F.concat(
+        F.lit(base_url), F.when(s.startswith("/"), F.lit("")).otherwise(F.lit("/")), s
+    )
+    s = F.when(needs_resolve, resolved).otherwise(s)
+    scheme = F.lower(F.regexp_extract(s, _SCHEME_RE, 1))
+    scheme_generic = F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+    scheme = F.when(scheme == "", scheme_generic).otherwise(scheme)
+    host = F.regexp_extract(s, _HOST_RE, 1)
+    path = F.regexp_extract(s, _PATH_RE, 1)
+    return F.struct(
+        F.when(~is_empty, s).alias("href"),
+        scheme.alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+    )
+
+
 def _canon_one(href: str) -> str:
     """Full RFC 3986 canonical form (north-rule extension, not used on
     the reference-parity path): lowercase scheme+host, decode unreserved

@@ -123,12 +123,16 @@ def robots_ok_expr(rules_rows: list[tuple[str, bool, str, int, bool]], host_col:
     return expr
 
 
-def validity_flag(df: DataFrame, base_host: str, ignore_patterns: list[str]) -> DataFrame:
+def validity_flag(df: DataFrame, base_host: str | None, ignore_patterns: list[str]) -> DataFrame:
     """Add ``pre_ok`` (P8+P9+P7) to canonicalized candidates with
     (scheme, host, path) columns. Robots (P11) is applied separately
-    (needs the rules join)."""
+    (needs the rules join). ``base_host=None`` disables the same-host
+    rule (multi-host frontier mode)."""
     scheme_ok = F.col("scheme").isin(*VALID_SCHEMES)
-    host_ok = (F.col("host") == "") | (F.col("host") == F.lit(base_host))
+    if base_host is None:
+        host_ok = F.lit(True)
+    else:
+        host_ok = (F.col("host") == "") | (F.col("host") == F.lit(base_host))
     ignore_hit = F.lit(False)
     for pat in ignore_patterns:
         ignore_hit = ignore_hit | F.col("path").contains(pat)

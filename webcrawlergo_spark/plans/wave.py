@@ -46,7 +46,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.urlnorm import make_normalize_udf
+from ..functions.urlnorm import make_normalize_udf, normalize_expr
 from ..operators.linkextract import extract_links
 from ..operators.seenset import build_bloom_shards, dedup_new_urls
 from ..operators.validate import marked_flag, parse_robots_rules, robots_ok_expr, validity_flag
@@ -67,10 +67,23 @@ class CrawlConfig:
     now_ts: float = 1_700_000_000.0
     seen_mode: str = "exact"  # "exact" | "bloom"
     n_shards: int = 16
+    # reference semantics: single-site crawl (P8). False = accept any
+    # host — the multi-host frontier mode the 10^10-URL north rule
+    # actually runs at (same-host is then just one more predicate).
+    same_host_only: bool = True
+    # "jvm" = whole-stage-codegen canonicalizer (default hot path);
+    # "pandas" = the Arrow-batched UDF (X2 extension surface) —
+    # bit-identical semantics, tested against each other.
+    canonicalizer: str = "jvm"
     politeness_max_per_host_per_wave: int | None = None
     checkpoint_dir: str | None = None
     update_hrefs: bool = False
     max_waves: int = 10_000
+    # crawl-time page analytics: per fetched page compute token/char
+    # counts, marker-hit counts and an md5 content fingerprint over the
+    # text spans (the engine's training-data ops applied in-flight) and
+    # append them to a page_stats log. All JVM column expressions.
+    analyze_pages: bool = False
 
 
 @dataclass
@@ -82,6 +95,7 @@ class CrawlResult:
     invalid: DataFrame     # known-invalid cache
     lineage: DataFrame     # per-wave per-partition metrics
     waves: int = 0
+    page_stats: DataFrame | None = None  # crawl-time analytics (analyze_pages)
 
     def crawl_order(self) -> list[str]:
         return [
@@ -117,7 +131,11 @@ class CrawlEngine:
         self.base_host = config.base_url.split("://", 1)[1].split("/", 1)[0].split(":")[0]
         rules = parse_robots_rules(spark, robots_rows).collect()
         self._robots_ok = robots_ok_expr([tuple(r) for r in rules])
-        self._normalize = make_normalize_udf(config.base_url)
+        if config.canonicalizer == "pandas":
+            udf = make_normalize_udf(config.base_url)
+            self._normalize = lambda col: udf(col)
+        else:
+            self._normalize = lambda col: normalize_expr(config.base_url, col)
 
     # -- state init ---------------------------------------------------------
 
@@ -194,7 +212,18 @@ class CrawlEngine:
 
     # -- the wave loop ------------------------------------------------------
 
-    def run(self, resume_urls: DataFrame | None = None, resume: bool = False) -> CrawlResult:
+    def run(
+        self,
+        resume_urls: DataFrame | None = None,
+        resume: bool = False,
+        extra_frontier: DataFrame | None = None,
+        debug_timing: bool = False,
+    ) -> CrawlResult:
+        """``extra_frontier``: bulk seed rows in FRONTIER_COLS shape
+        (url, host, depth, parent_rank, span_offset, link_pos,
+        should_fetch, retry_count) — the "seed list" path for
+        multi-seed frontiers; rows order after the base seed via
+        their (parent_rank, span_offset) keys."""
         cfg = self.cfg
         spark = self.spark
         store = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
@@ -209,6 +238,7 @@ class CrawlEngine:
         events_deltas: list[DataFrame] = []
         pages_deltas: list[DataFrame] = []
         lineage_deltas: list[DataFrame] = []
+        page_stats_deltas: list[DataFrame] = []
 
         if resume and store and store.latest():
             m = store.latest()
@@ -225,12 +255,41 @@ class CrawlEngine:
             wave_id = int(m["wave_id"]) + 1
         else:
             frontier, urls, seen, fetch_flags = self._seed_frontier(resume_urls)
+            if extra_frontier is not None:
+                frontier = frontier.unionByName(extra_frontier)
+                seen = seen.unionByName(extra_frontier.select("url")).distinct()
+                urls = urls.unionByName(
+                    extra_frontier.select(
+                        "url", F.col("should_fetch").alias("is_monitored"),
+                        F.lit(True).alias("is_alive"), F.lit(None).cast("double").alias("last_saved"),
+                    ).join(urls.select("url"), "url", "left_anti")
+                )
             invalid = self._empty("url string")
             event_base = 0
             wave_id = 0
+        # fast-path guards — python-side facts that let a wave skip
+        # whole plan sections (each skipped section = 1-2 jobs/wave):
+        # fetch-flag machinery only matters if some flag can ever be
+        # true; the invalid anti-join only once something is invalid
+        flags_live = bool(cfg.marked_paths) or fetch_flags.filter(F.col("flag")).limit(1).count() > 0
+        invalid_nonempty = invalid.limit(1).count() > 0
+        truncate_every = 4  # lineage-truncation cadence for slow-growing state
+        import time as _time
+
+        def _tick(label, _last=[None]):
+            if debug_timing:
+                now = _time.time()
+                if _last[0] is not None:
+                    print(f"    {label}: {now - _last[0]:.2f}s", flush=True)
+                _last[0] = now
+
         while wave_id < cfg.max_waves:
-            frontier = frontier.localCheckpoint(eager=True)
-            if frontier.isEmpty():
+            _tick(None)
+            # frontier legs (retries/deferred/enqueued) are materialized;
+            # counting the lazy union is one cheap scan, no re-checkpoint
+            n_frontier = frontier.count()
+            _tick("frontier-count")
+            if n_frontier == 0:
                 break
             # politeness cap (T1): per-host quota, overflow defers
             if cfg.politeness_max_per_host_per_wave is not None:
@@ -238,47 +297,54 @@ class CrawlEngine:
                 ranked = frontier.withColumn("_hseq", F.row_number().over(w))
                 batch = ranked.filter(F.col("_hseq") <= cfg.politeness_max_per_host_per_wave).drop("_hseq")
                 deferred = ranked.filter(F.col("_hseq") > cfg.politeness_max_per_host_per_wave).drop("_hseq")
+                n_events = batch.count()
             else:
                 batch, deferred = frontier, self._empty(FRONTIER_COLS)
+                n_events = n_frontier
 
-            # FIFO clock: global event ranks for this wave
-            n_events = batch.count()
-            batch = with_global_rank(
-                batch, ["parent_rank", "span_offset", "link_pos"], "event_rank",
-                start=event_base, n_rows=n_events,
-            )
-            event_base += n_events
-
-            # fetch-sim (S1): deterministic synthetic responses
+            # fetch-sim (S1) joins FIRST (1:1 left joins don't disturb
+            # ordering), so the rank's materialization and the sim
+            # checkpoint are one pass over one wide frame
             web = self.web_index.select(
                 "url", F.col("doc_id").alias("_doc_id"),
                 F.col("status").alias("_status"), F.col("fail_times").alias("_ft"),
             )
-            sim = (
-                batch.join(web, "url", "left")
-                .join(fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left")
-                .select(
-                    *[F.col(c) for c in batch.columns],
-                    F.col("_doc_id").alias("doc_id"),
-                    F.coalesce(F.col("_status"), F.lit(404)).alias("http_status"),
-                    F.coalesce(F.col("_ft"), F.lit(0)).alias("fail_times"),
-                    F.coalesce(F.col("_flag_in"), F.lit(False)).alias("flag_in"),
-                )
+            sim = batch.join(web, "url", "left")
+            if flags_live:
+                sim = sim.join(fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left")
+            else:
+                sim = sim.withColumn("_flag_in", F.lit(False))
+            sim = sim.select(
+                *[F.col(c) for c in batch.columns],
+                F.col("_doc_id").alias("doc_id"),
+                F.coalesce(F.col("_status"), F.lit(404)).alias("http_status"),
+                F.coalesce(F.col("_ft"), F.lit(0)).alias("fail_times"),
+                F.coalesce(F.col("_flag_in"), F.lit(False)).alias("flag_in"),
             )
+            # FIFO clock: global event ranks for this wave
+            sim = with_global_rank(
+                sim, ["parent_rank", "span_offset", "link_pos"], "event_rank",
+                start=event_base, n_rows=n_events,
+            )
+            event_base += n_events
             sim = sim.withColumn("transport_fail", F.col("retry_count") < F.col("fail_times"))
-            # the map value a dequeue observes: entering flag, unless an
-            # earlier event of the same URL *this wave* consumed it (a
-            # 200 fetch saves+resets, a transport failure InsertForce-
-            # resets; 404/skip leave it untouched)
-            w_url = Window.partitionBy("url").orderBy("event_rank").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-            consuming = (F.col("transport_fail") | (F.col("http_status") == 200)).cast("long")
-            sim = sim.withColumn(
-                "flag_at",
-                F.col("flag_in") & (F.coalesce(F.sum(consuming).over(w_url), F.lit(0)) == 0),
-            )
+            if flags_live:
+                # the map value a dequeue observes: entering flag, unless
+                # an earlier event of the same URL *this wave* consumed it
+                # (a 200 fetch saves+resets, a transport failure
+                # InsertForce-resets; 404/skip leave it untouched)
+                w_url = Window.partitionBy("url").orderBy("event_rank").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+                consuming = (F.col("transport_fail") | (F.col("http_status") == 200)).cast("long")
+                sim = sim.withColumn(
+                    "flag_at",
+                    F.col("flag_in") & (F.coalesce(F.sum(consuming).over(w_url), F.lit(0)) == 0),
+                )
+            else:
+                sim = sim.withColumn("flag_at", F.lit(False))
             sim = sim.localCheckpoint(eager=True)
+            _tick("rank+fetchsim")
 
             retries = (
                 sim.filter(F.col("transport_fail") & (F.col("retry_count") < F.lit(cfg.retry_times)))
@@ -303,44 +369,79 @@ class CrawlEngine:
             )
             events_deltas.append(wave_events)
 
-            # X1 + X2: extract → canonicalize → split empty/known-invalid
+            # X1 + X2: extract → canonicalize → split empty/known-invalid.
+            # The explode multiplies rows ~links-per-page ×, but AQE has
+            # already coalesced upstream partitions to its advisory size
+            # — redistribute so canonicalize/validate run at full width.
             raw_links = extract_links(
                 ok.join(self.docs, "doc_id").select("url", "event_rank", "depth", "spans"),
                 id_cols=["url", "event_rank", "depth"],
             ).withColumnRenamed("url", "parent_url")
+
+            if cfg.analyze_pages:
+                text = F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter("spans", lambda s: s["kind"] == "text"), lambda s: s["text"]
+                    ),
+                )
+                toks = F.split(text, " ")
+                stats = (
+                    ok.join(self.docs, "doc_id")
+                    .select(
+                        "url",
+                        "event_rank",
+                        F.length(text).alias("n_chars"),
+                        F.size(toks).alias("n_tokens"),
+                        F.size(F.filter(toks, lambda t: t.startswith("w1"))).alias("marker_hits"),
+                        F.md5(text).alias("fingerprint"),
+                        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+                    )
+                )
+                page_stats_deltas.append(stats)
             norm = raw_links.withColumn("_n", self._normalize(F.col("raw_href"))).select(
                 "parent_url", "event_rank", "depth", "span_offset", "link_pos",
                 F.col("_n.href").alias("href"), F.col("_n.scheme").alias("scheme"),
                 F.col("_n.host").alias("host"), F.col("_n.path").alias("path"),
             ).filter(F.col("href").isNotNull())
-            norm = norm.join(invalid.withColumnRenamed("url", "href"), "href", "left_anti")  # P13
-            judged = validity_flag(norm, self.base_host, cfg.ignore_patterns).withColumn(
-                "valid", F.col("pre_ok") & self._robots_ok
-            )
-            judged = judged.localCheckpoint(eager=True)
+            if invalid_nonempty:
+                norm = norm.join(invalid.withColumnRenamed("url", "href"), "href", "left_anti")  # P13
+            judged = validity_flag(
+                norm,
+                self.base_host if cfg.same_host_only else None,
+                cfg.ignore_patterns,
+            ).withColumn("valid", F.col("pre_ok") & self._robots_ok)
 
-            new_invalid = (
-                judged.filter(~F.col("valid")).select(F.col("href").alias("url")).distinct()
-                .join(invalid, "url", "left_anti")
-            )
-            invalid = invalid.unionByName(new_invalid).localCheckpoint(eager=True)
-
-            # first-encounter dedup (J2): min enqueue key within the wave,
-            # then anti-join the seen set (exact or bloom+confirm)
-            firsts = (
-                judged.filter(F.col("valid"))
-                .groupBy("href")
+            # single pass over the (huge) link set: normalize+validate run
+            # exactly once, map-side partial agg collapses ~links-per-page×
+            # duplication BEFORE anything materializes. `valid` is a pure
+            # function of href, so grouping by (href, valid) == by href.
+            grouped = (
+                judged.groupBy("href", "valid")
                 .agg(
                     F.min(F.struct("event_rank", "span_offset", "link_pos", "depth", "host")).alias("k")
                 )
-                .select(
-                    F.col("href").alias("url"),
-                    F.col("k.host").alias("host"),
-                    (F.col("k.depth") + 1).alias("depth"),
-                    F.col("k.event_rank").alias("parent_rank"),
-                    F.col("k.span_offset").alias("span_offset"),
-                    F.col("k.link_pos").alias("link_pos"),
+                .localCheckpoint(eager=True)
+            )
+            _tick("extract+norm+judge")
+
+            if grouped.filter(~F.col("valid")).limit(1).count():
+                new_invalid = (
+                    grouped.filter(~F.col("valid")).select(F.col("href").alias("url"))
+                    .join(invalid, "url", "left_anti")
                 )
+                invalid = invalid.unionByName(new_invalid).localCheckpoint(eager=True)
+                invalid_nonempty = True
+
+            # first-encounter dedup (J2): min enqueue key within the wave,
+            # then anti-join the seen set (exact or bloom+confirm)
+            firsts = grouped.filter(F.col("valid")).select(
+                F.col("href").alias("url"),
+                F.col("k.host").alias("host"),
+                (F.col("k.depth") + 1).alias("depth"),
+                F.col("k.event_rank").alias("parent_rank"),
+                F.col("k.span_offset").alias("span_offset"),
+                F.col("k.link_pos").alias("link_pos"),
             )
             if cfg.seen_mode == "bloom":
                 shards = {
@@ -351,6 +452,7 @@ class CrawlEngine:
             else:
                 new_urls = dedup_new_urls(firsts, seen)
             new_urls = marked_flag(new_urls, cfg.marked_paths, url_col="url").localCheckpoint(eager=True)
+            _tick("dedup+newurls")
 
             enqueued = new_urls.select(
                 "url", "host", "depth", "parent_rank", "span_offset", "link_pos",
@@ -368,34 +470,37 @@ class CrawlEngine:
                         F.lit(True).alias("is_alive"), F.lit(None).cast("double").alias("last_saved"),
                     )
                 )
-                .localCheckpoint(eager=True)
             )
-            seen = seen.unionByName(enqueued.select("url")).distinct().localCheckpoint(eager=True)
+            # enqueued is already wave-distinct AND anti-joined vs seen,
+            # so a plain union keeps `seen` duplicate-free — no distinct
+            seen = seen.unionByName(enqueued.select("url"))
 
             # exactly-once content save (T6): marked OR live map value
             # (reference crawler.go:300-311)
             saved = marked_flag(ok, cfg.marked_paths, url_col="url").filter(
                 F.col("marked") | F.col("flag_at")
             )
-            pages_deltas.append(saved.select("url", "doc_id", "event_rank"))
+            if cfg.marked_paths or flags_live:
+                pages_deltas.append(saved.select("url", "doc_id", "event_rank"))
 
             # map-value updates for the next wave: any consuming event
             # (save/fail) resets to false; fresh discoveries enter with
             # their marked flag (SetMapValue(true) at crawler.go:276-278,
             # Insert default false at queue/queue.go:104)
-            consumed = (
-                sim.filter(F.col("transport_fail") | (F.col("http_status") == 200))
-                .select("url").distinct().withColumn("_new_flag", F.lit(False))
-            )
-            fetch_flags = (
-                fetch_flags.join(consumed, "url", "left")
-                .select(
-                    "url",
-                    F.when(F.col("_new_flag").isNotNull(), F.lit(False)).otherwise(F.col("flag")).alias("flag"),
+            if flags_live:
+                consumed = (
+                    sim.filter(F.col("transport_fail") | (F.col("http_status") == 200))
+                    .select("url").distinct().withColumn("_new_flag", F.lit(False))
                 )
-                .unionByName(new_urls.select("url", F.col("marked").alias("flag")))
-                .localCheckpoint(eager=True)
-            )
+                fetch_flags = (
+                    fetch_flags.join(consumed, "url", "left")
+                    .select(
+                        "url",
+                        F.when(F.col("_new_flag").isNotNull(), F.lit(False)).otherwise(F.col("flag")).alias("flag"),
+                    )
+                    .unionByName(new_urls.select("url", F.col("marked").alias("flag")))
+                    .localCheckpoint(eager=True)
+                )
 
             # lineage (A3): per host-shard metrics for this wave
             shard = F.pmod(F.xxhash64("host"), F.lit(cfg.n_shards)).cast("int")
@@ -426,7 +531,15 @@ class CrawlEngine:
             )
             lineage_deltas.append(lin)
 
+            _tick("state-merge+lineage")
             frontier = retries.unionByName(deferred).unionByName(enqueued)
+
+            # periodic lineage truncation for the slowly-growing state
+            # (they gain one cheap union/join per wave; truncating every
+            # wave costs more jobs than it saves)
+            if store or wave_id % truncate_every == truncate_every - 1:
+                seen = seen.localCheckpoint(eager=True)
+                urls = urls.localCheckpoint(eager=True)
 
             if store:
                 store.commit(
@@ -442,6 +555,9 @@ class CrawlEngine:
                     },
                     meta={"event_base": event_base},
                 )
+            _tick("truncate+commit")
+            if debug_timing:
+                print(f"  wave {wave_id}: {n_events} events", flush=True)
             wave_id += 1
 
         def _acc(deltas: list[DataFrame], schema: str) -> DataFrame:
@@ -460,4 +576,8 @@ class CrawlEngine:
             invalid=invalid,
             lineage=_acc(lineage_deltas, lineage_schema),
             waves=wave_id,
+            page_stats=_acc(
+                page_stats_deltas,
+                "url string, event_rank long, n_chars int, n_tokens int, marker_hits int, fingerprint string, n_media int",
+            ),
         )

@@ -42,10 +42,35 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64MB advisory over-coalesces stages that feed an
+        # explode (links fan out ~16x after the scan) — keep post-
+        # shuffle partitions smaller so fan-out stages stay parallel
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # superseded localCheckpoint blocks are only dropped after a
+        # driver GC notices the RDD is unreachable — with a large,
+        # mostly-empty heap that can take many minutes; force it
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+        # ParallelGC + pre-touched fixed heap: G1's periodic uncommit +
+        # re-fault of heap pages dominated wall time in this VM (90%+
+        # kernel time, mostly-idle CPUs). A fixed pre-touched heap with
+        # a throughput collector removed the stalls (3x on the crawl
+        # bench). On a real cluster, apply the same to executors.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch -Xms"
+                + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"),
+            ),
+        )
         .config("spark.ui.enabled", "false")
+        # shuffle + spill through the VM's virtio disk throttles every
+        # wave identically at any core count; tmpfs restores the NVMe-
+        # class local I/O a real executor would have
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -205,18 +205,24 @@ def scale_web_df(spark: SparkSession, n_pages: int, links_per_page: int = 8,
     driver never materializes the page list.
     """
     pages = spark.range(n_pages).withColumnRenamed("id", "page_id")
-    host_id = F.when(
-        F.pmod(F.xxhash64(F.col("page_id"), F.lit(1)), 100) < int(skew_host_share * 100), F.lit(0)
-    ).otherwise(F.pmod(F.xxhash64(F.col("page_id"), F.lit(2)), n_hosts - 1) + 1)
-    links = F.transform(
-        F.sequence(F.lit(0), F.lit(links_per_page - 1)),
-        lambda k: F.concat(
-            F.lit("https://host"),
-            F.pmod(F.xxhash64(F.col("page_id"), k, F.lit(3)), n_hosts).cast("string"),
-            F.lit(".bench/p"),
-            F.pmod(F.xxhash64(F.col("page_id"), k, F.lit(4)), n_pages).cast("string"),
-        ),
-    )
+
+    def host_of(page_col):
+        """Host assignment — shared by page placement AND link targets
+        so every generated link resolves to a real page URL."""
+        return F.when(
+            F.pmod(F.xxhash64(page_col, F.lit(1)), 100) < int(skew_host_share * 100), F.lit(0)
+        ).otherwise(F.pmod(F.xxhash64(page_col, F.lit(2)), n_hosts - 1) + 1)
+
+    host_id = host_of(F.col("page_id"))
+
+    def link_to(k):
+        target = F.pmod(F.xxhash64(F.col("page_id"), k, F.lit(4)), n_pages)
+        return F.concat(
+            F.lit("https://host"), host_of(target).cast("string"),
+            F.lit(".bench/p"), target.cast("string"),
+        )
+
+    links = F.transform(F.sequence(F.lit(0), F.lit(links_per_page - 1)), link_to)
     return pages.select(
         F.col("page_id"),
         host_id.cast("int").alias("host_id"),
