@@ -18,7 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from webcrawlergo_spark.multimodal import MULTIMODAL_META_SQL, multimodal_meta
 from webcrawlergo_spark.operators import dedup as dd
+from webcrawlergo_spark.operators import olap
 from webcrawlergo_spark.operators import relational as rel
 from webcrawlergo_spark.operators import similarity as sim
 from webcrawlergo_spark.operators import text as tx
@@ -26,6 +28,7 @@ from webcrawlergo_spark.operators import window as win
 from webcrawlergo_spark.operators.crawl_queries import crawl_bfs_depth, link_extract_spans
 from webcrawlergo_spark.sources import crawlviews as cv
 from webcrawlergo_spark.sources.tpch import load_table
+from webcrawlergo_spark.streaming.windowed import TUMBLING_SQL, tumbling_event_counts
 
 # Shared CTE prelude for every oracle that touches the derived views.
 _VIEWS_CTE = f"""
@@ -203,8 +206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dd.QUERIES)
     q.update(sim.QUERIES)
     q.update(tx.QUERIES)
+    q.update(olap.QUERIES)
     q["link_extract_spans"] = link_extract_spans
     q["crawl_bfs_depth"] = crawl_bfs_depth
+    q["events_tumbling_agg"] = lambda spark, sf_dir: tumbling_event_counts(
+        load_table(spark, sf_dir, "events")
+    )
+    q["multimodal_meta"] = multimodal_meta
     return q
 
 
@@ -312,7 +320,10 @@ def oracle_sql() -> dict[str, str]:
     o.update(dd.ORACLES)
     o.update(sim.ORACLES)
     o.update(tx.ORACLES)
+    o.update(olap.ORACLES)
     from webcrawlergo_spark.operators.crawl_queries import CRAWL_ORACLES
 
     o.update(CRAWL_ORACLES)
+    o["events_tumbling_agg"] = TUMBLING_SQL
+    o["multimodal_meta"] = MULTIMODAL_META_SQL
     return o

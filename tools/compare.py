@@ -24,18 +24,21 @@ from webcrawlergo_spark.session import get_spark
 
 
 def _norm(v):
+    """Normalize to a homogeneous sortable representation (nulls and
+    mixed types must not break the row sort)."""
+    if v is None:
+        return ("\x00null", "")
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        return ("ts", v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"))
     if isinstance(v, bool):
-        return v
+        return ("bool", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 / 0.0 and format stably
-        return repr(round(v + 0.0, 9))
+            return ("float", "NaN")
+        return ("float", repr(round(v + 0.0, 9)))
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
+        return ("list", str([_norm(x) for x in v]))
+    return (type(v).__name__, str(v))
 
 
 def run_compare(sf_dir: str, only: list[str] | None = None) -> int:
