@@ -44,9 +44,9 @@ WITH flagged AS (
   FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events) t),
 sess AS (
-  SELECT *, SUM(new_session) OVER (
+  SELECT *, CAST(SUM(new_session) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM flagged)
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,

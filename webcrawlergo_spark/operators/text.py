@@ -131,7 +131,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.size(toks).alias("ws_tokens"),
+            # long, not int: DuckDB len() is BIGINT — keep the oracle type-exact
+            F.size(toks).cast("long").alias("ws_tokens"),
             bpe_ish.alias("bpe_ish_tokens"),
         )
         .orderBy("doc_id")
@@ -141,8 +142,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
        len(s) AS ws_tokens,
-       list_aggregate(list_transform(s, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)),
-                      'sum') AS bpe_ish_tokens
+       CAST(list_aggregate(list_transform(s, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)),
+                      'sum') AS BIGINT) AS bpe_ish_tokens
 FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t
 ORDER BY doc_id
 """

@@ -41,8 +41,8 @@ def tumbling_event_counts(events: DataFrame) -> DataFrame:
 
 
 TUMBLING_SQL = f"""
-SELECT to_timestamp(CAST(floor(epoch(ts) / {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS BIGINT))
-           AS window_start,
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS BIGINT))
+           AS TIMESTAMP) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS sum_value,
