@@ -175,6 +175,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_exact(docs)
 
 
+def q_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S9 + J6: registry delete with FK cascade to the pages log
+    # (reference models/url.go:175-198; cascade DDL sqlite.go:64).
+    # Victims: id % 11 == 0. Result: surviving registry + per-URL
+    # count over the CASCADED pages log (proves the cascade happened).
+    from webcrawlergo_spark.operators.delete import delete_urls_cascade
+
+    urls, pages = _views(spark, sf_dir)
+    out = delete_urls_cascade(urls, pages, urls.filter(F.col("id") % 11 == 0))
+    counts = out["pages"].groupBy("url_id").agg(F.count("*").alias("n_pages"))
+    return (
+        out["urls"]
+        .join(counts, out["urls"].id == counts.url_id, "left")
+        .select(
+            "id", "url", "is_monitored", "is_alive",
+            F.coalesce("n_pages", F.lit(0)).cast("long").alias("n_pages"),
+        )
+        .orderBy("id")
+    )
+
+
+def q_export_sanitized_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S10 + F7: db2disk filename derivation (db.go:228-263) — path
+    # split, per-segment unsafe-char sanitize, QueryEscape, timestamp
+    # suffix. URLs get a deterministic messy segment (space, colon,
+    # ampersand) so the sanitize + encode steps genuinely transform.
+    from webcrawlergo_spark.operators.export import export_paths
+
+    urls, pages = _views(spark, sf_dir)
+    latest = win.latest_pages(pages, urls)
+    messy = latest.withColumn(
+        "url",
+        F.concat("url", F.lit("/f le:"), F.col("url_id").cast("string"), F.lit("&v")),
+    )
+    return export_paths(messy).select("url_id", "rel_path").orderBy("url_id")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -202,6 +239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_arith": q_timestamp_arith,
         "href_token_extract": q_href_token_extract,
         "dedup_exact": q_dedup_exact,
+        "delete_cascade": q_delete_cascade,
+        "export_sanitized_paths": q_export_sanitized_paths,
     }
     q.update(dd.QUERIES)
     q.update(sim.QUERIES)
@@ -316,6 +355,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "href_token_extract": tx.TOKEN_EXTRACT_SQL,
         "dedup_exact": dd.DEDUP_EXACT_SQL,
+        "delete_cascade": _VIEWS_CTE
+        + """
+        , kept AS (SELECT * FROM urls WHERE id % 11 <> 0),
+        kp AS (SELECT * FROM pages WHERE url_id NOT IN
+               (SELECT id FROM urls WHERE id % 11 = 0)),
+        c AS (SELECT url_id, COUNT(*) AS n_pages FROM kp GROUP BY url_id)
+        SELECT k.id, k.url, k.is_monitored, k.is_alive,
+               COALESCE(c.n_pages, 0) AS n_pages
+        FROM kept k LEFT JOIN c ON k.id = c.url_id ORDER BY k.id
+        """,
+        "export_sanitized_paths": _VIEWS_CTE
+        + r"""
+        , latest AS (
+            SELECT p.*, u.url, ROW_NUMBER() OVER (
+                PARTITION BY p.url_id ORDER BY p.added_at DESC, p.id DESC) AS rn
+            FROM pages p JOIN urls u ON p.url_id = u.id)
+        SELECT url_id,
+               '/u/' || url_id || '/' ||
+               replace(regexp_replace('f le:' || url_id || '&v',
+                                      '[<>:"/\\|?* ]', '_', 'g'),
+                       '&', '%26')
+               || '_' || strftime(added_at, '%Y-%m-%d_%H-%M-%S') || '.html'
+                   AS rel_path
+        FROM latest WHERE rn = 1 ORDER BY url_id
+        """,
     }
     o.update(dd.ORACLES)
     o.update(sim.ORACLES)

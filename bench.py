@@ -190,6 +190,9 @@ def main() -> None:
     queries = run_queries(spark, SF_DIR)
     crawl_bench(spark, max(10_000, n_pages // 4))  # crawl warmup
     crawl = crawl_bench(spark, n_pages)
+    # the bloom path (incremental per-wave OR-in, exact-confirm) must
+    # hold parity-or-better with exact mode — measured, not assumed
+    crawl_bloom = crawl_bench(spark, n_pages, seen_mode="bloom")
     result = {
         "metric": "frontier URLs processed/sec (dequeue→fetch-sim→dedup→enqueue) + headline query suite",
         "value": round(time.time() - t_start, 2),
@@ -198,11 +201,18 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "crawl": crawl,
+        "crawl_bloom": crawl_bloom,
     }
 
     if do_scaling:
         spark.stop()
-        result["scaling"] = run_scaling(n_pages=500_000)
+        # both N-vs-4N pairs (BASELINE protocol allows either; the host
+        # itself stops scaling past ~8 threads — reported side by side
+        # with the pure-compute host probe in BENCH.md)
+        result["scaling"] = {
+            "2v8": run_scaling(n_pages=250_000, n_lo=2, n_hi=8),
+            "8v32": run_scaling(n_pages=500_000, n_lo=8, n_hi=32),
+        }
     else:
         spark.stop()
 
@@ -220,10 +230,11 @@ def run_scaling(n_pages: int, n_lo: int = 8, n_hi: int = 32, reps: int = 3) -> d
     import statistics
 
     times: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    warmup = min(150_000, max(50_000, n_pages // 3))
     for rep in range(reps):
         for n in (n_lo, n_hi):
             spark = make_spark(n)
-            crawl_bench(spark, 150_000)  # JIT warmup (fresh JVM every leg)
+            crawl_bench(spark, warmup)  # JIT warmup (fresh JVM every leg)
             r = crawl_bench(spark, n_pages)
             times[n].append(r["seconds"])
             events = r["events"]

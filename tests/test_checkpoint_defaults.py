@@ -1,0 +1,92 @@
+"""Regression tests from the r1 verdict/advice:
+
+1. A checkpointed crawl with NO marked paths crashed wave 0 with
+   IndexError (pages_deltas[-1] on an empty list). Every wave now
+   commits a (possibly empty) pages delta.
+2. Incremental bloom maintenance: the per-wave OR-in path must stay
+   bit-identical to exact dedup across MULTIPLE waves (r1 only tested
+   a single build).
+3. last_saved is set on save (reference savePageContent,
+   crawler.go:353-355) so the engine's own output registry can drive
+   re-crawl expiry (T7) on a later run.
+"""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from webcrawlergo_spark.plans.wave import CrawlConfig, CrawlEngine
+
+
+def test_checkpointed_crawl_without_marked_paths(spark, web, web_dfs):
+    """r1 verdict bug #1: marked_paths=[] + checkpoint_dir crashed on
+    the first wave's commit."""
+    with tempfile.TemporaryDirectory() as ckpt:
+        res = CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(base_url=web.base_url, checkpoint_dir=ckpt, max_waves=3),
+        ).run()
+        assert res.waves >= 1
+        assert res.pages.count() == 0  # nothing marked, nothing flagged
+
+
+def test_bloom_incremental_multiwave_equals_exact(spark, web, web_dfs, default_run):
+    """The OR-in maintenance path across all waves of a real crawl
+    yields the exact-mode result bit-for-bit."""
+    cfg = CrawlConfig(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        seen_mode="bloom",
+        n_shards=4,
+    )
+    res = CrawlEngine(spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"], cfg).run()
+    assert res.event_order() == default_run.event_order()
+    assert sorted(r["url"] for r in res.seen.collect()) == sorted(
+        r["url"] for r in default_run.seen.collect()
+    )
+
+
+def test_last_saved_set_on_save(web, default_run):
+    """Every URL with a saved page carries last_saved = cfg.now_ts in
+    the final registry; URLs never saved keep last_saved NULL."""
+    saved_urls = {r["url"] for r in default_run.pages.select("url").distinct().collect()}
+    assert saved_urls  # fixture crawl saves something
+    rows = {r["url"]: r["last_saved"] for r in default_run.urls.collect()}
+    for u in saved_urls:
+        assert rows[u] == CrawlConfig(base_url=web.base_url).now_ts
+    never_saved = set(rows) - saved_urls
+    assert all(rows[u] is None for u in never_saved)
+
+
+def test_resume_feedback_recrawls_expired(spark, web, web_dfs, default_run):
+    """T7 closure: feed the engine's OWN output registry back as
+    resume rows with a now_ts past the expiry window — monitored URLs
+    must be re-fetched (ADVICE r1: without last_saved updates every
+    monitored URL looked permanently expired OR never expired)."""
+    base_cfg = dict(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+    )
+    first = default_run
+    registry = first.urls.withColumn(
+        "id", F.row_number().over(__import__("pyspark").sql.Window.orderBy("url")).cast("long")
+    )
+    monitored_alive = {
+        r["url"]
+        for r in first.urls.filter("is_monitored AND is_alive").collect()
+        # reachable this run: 200 within the retry budget
+        if web.pages.get(r["url"], {}).get("fail_times", 0) <= 2
+        and web.pages.get(r["url"], {}).get("status") == 200
+    }
+    assert monitored_alive
+
+    later = CrawlConfig(**base_cfg).now_ts + 10 * 86400  # all saves expired
+    res = CrawlEngine(
+        spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+        CrawlConfig(**base_cfg, now_ts=later),
+    ).run(resume_urls=registry)
+    fetched = set(res.crawl_order())
+    # every reachable monitored+alive URL from run 1 is re-fetched
+    assert monitored_alive <= fetched

@@ -69,13 +69,19 @@ def normalize_href(href: str, base_url: str) -> str | None:
 
 
 class RobotsMatcher:
-    """Minimal Google-style robots.txt matcher: longest-rule wins,
-    Allow wins ties, default allow. (Stands in for grobotstxt at
-    crawler.go:441-446; the synthetic corpus uses prefix rules only.)"""
+    """Google-style robots.txt matcher standing in for grobotstxt at
+    crawler.go:441-446: named user-agent groups (most-specific agent
+    wins, ``*`` fallback), ``*``/``$`` wildcards in rule patterns,
+    longest-pattern wins, Allow wins ties, default allow."""
 
-    def __init__(self, robots_txt: str):
-        self.rules: list[tuple[bool, str]] = []  # (is_allow, path_prefix)
-        active = False
+    def __init__(self, robots_txt: str, user_agent: str = "webcrawlerGo"):
+        import re
+
+        # group parse: consecutive User-agent lines share one group
+        groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+        agents: list[str] = []
+        rules: list[tuple[bool, str]] = []
+        in_agents = False
         for line in robots_txt.splitlines():
             line = line.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -83,16 +89,46 @@ class RobotsMatcher:
             key, _, val = line.partition(":")
             key, val = key.strip().lower(), val.strip()
             if key == "user-agent":
-                active = val == "*"
-            elif active and key in ("allow", "disallow") and val:
-                self.rules.append((key == "allow", val))
+                if not in_agents:
+                    if agents:
+                        groups.append((agents, rules))
+                    agents, rules = [], []
+                    in_agents = True
+                agents.append(val.lower())
+            elif key in ("allow", "disallow"):
+                in_agents = False
+                if val:
+                    rules.append((key == "allow", val))
+        if agents:
+            groups.append((agents, rules))
+        # group selection: longest agent that prefixes our product token
+        ua = user_agent.split("/", 1)[0].strip().lower()
+        best: tuple[int, list[tuple[bool, str]]] | None = None
+        star: list[tuple[bool, str]] | None = None
+        for ag, ru in groups:
+            for a in ag:
+                if a == "*":
+                    if star is None:
+                        star = ru
+                elif ua.startswith(a) and (best is None or len(a) > best[0]):
+                    best = (len(a), ru)
+        selected = best[1] if best is not None else (star or [])
+        # compile: (is_allow, pattern_len, match_fn)
+        self.rules: list[tuple[bool, int, object]] = []
+        for is_allow, pat in selected:
+            if "*" in pat or pat.endswith("$"):
+                body, anchor = (pat[:-1], "$") if pat.endswith("$") else (pat, "")
+                rx = re.compile("^" + ".*".join(re.escape(p) for p in body.split("*")) + anchor)
+                self.rules.append((is_allow, len(pat), rx.search))
+            else:
+                self.rules.append((is_allow, len(pat), lambda s, _p=pat: s.startswith(_p)))
 
     def allowed(self, url: str) -> bool:
         path = urlsplit(url).path or "/"
         best: tuple[int, bool] | None = None
-        for is_allow, prefix in self.rules:
-            if path.startswith(prefix):
-                key = (len(prefix), is_allow)
+        for is_allow, plen, match in self.rules:
+            if match(path):
+                key = (plen, is_allow)
                 if best is None or key > best:
                     best = key
         return True if best is None else best[1]
@@ -110,7 +146,7 @@ def is_valid_url(href: str, base_host: str, ignore_patterns: list[str], robots: 
         return False
     if p.scheme not in VALID_SCHEMES:
         return False
-    if any(pat in p.path for pat in ignore_patterns):
+    if any(pat in p.path for pat in ignore_patterns if pat):  # ContainsAny skips ''
         return False
     return robots.allowed(href)
 
@@ -132,6 +168,8 @@ def crawl_golden(
     update_days: int = 1,
     now_ts: float = 1_700_000_000.0,
     update_hrefs: bool = False,
+    min_content_chars: int = 0,
+    user_agent: str = "webcrawlerGo",
 ) -> GoldenResult:
     """Single-worker reference crawl over the synthetic web.
 
@@ -143,7 +181,7 @@ def crawl_golden(
     """
     base_url = web.base_url
     base_host = urlsplit(base_url).hostname
-    robots = RobotsMatcher(web.robots_txt)
+    robots = RobotsMatcher(web.robots_txt, user_agent)
     res = GoldenResult()
     queue: list[str] = []
     seen = res.seen
@@ -154,7 +192,7 @@ def crawl_golden(
             res.urls_rows[url] = {"is_monitored": monitored, "is_alive": True, "saved": 0}
 
     def is_marked(url: str) -> bool:
-        return any(m in url for m in web.marked_paths)
+        return any(m in url for m in web.marked_paths if m)  # ContainsAny skips ''
 
     # --- seed (cmd/webcrawlerGo/crawl.go:27-30) ---
     if base_url not in seen:
@@ -232,10 +270,16 @@ def crawl_golden(
                         seen[href] = True
             else:
                 res.invalid.add(href)
-        # save / touch current url (crawler.go:300-319)
+        # save / touch current url (crawler.go:300-319); min-content
+        # guard per savePageContent (crawler.go:346-348)
         save = seen.get(urlpath, False)
         if is_marked(urlpath) or save:
-            res.saved_pages.append((urlpath, page["doc_id"]))
-            res.urls_rows[urlpath]["saved"] += 1
+            clen = sum(
+                len(s.get("text") or "") + len(s.get("media_ref") or "")
+                for s in page["spans"]
+            )
+            if clen >= min_content_chars:
+                res.saved_pages.append((urlpath, page["doc_id"]))
+                res.urls_rows[urlpath]["saved"] += 1
             seen[urlpath] = False
     return res

@@ -124,12 +124,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    banded = sigs.select("doc_id", "sh", *band_cols)
+    # melt carries ONLY (doc_id, band_id, band_key) — 3 narrow columns.
+    # The r1 version kept the full shingle arrays as join payload, so
+    # document content shuffled 4× and rode the self-join (its slowest
+    # query). Shingles re-attach ONCE per side after pair dedup.
+    banded = sigs.select("doc_id", *band_cols)
     melted = banded.select(
         "doc_id",
-        "sh",
         F.explode(F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(N_BANDS)])).alias("bk"),
-    ).select("doc_id", "sh", "bk.band_id", "bk.band_key")
+    ).select("doc_id", "bk.band_id", "bk.band_key")
     left = melted.alias("l")
     right = melted.alias("r")
     cand = (
@@ -139,13 +142,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.filter(F.col("sh_a"), lambda x: F.array_contains(F.col("sh_b"), x)))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -1,0 +1,53 @@
+"""S9 — URL delete with FK cascade, plus seen-set maintenance.
+
+Reference: models/url.go:175-198 (DeleteById / DeleteByIds) with the
+``ON DELETE CASCADE`` FK from pages to urls (models/sqlite/sqlite.go:64
+and models/psql setup) — deleting a registry row removes its fetch
+log too.
+
+Spark shape: snapshot-isolation delete = rewrite-minus-anti-join over
+the immutable state tables (the same stance the checkpoint store
+takes instead of row CAS). The cascade is the url_id anti-join on the
+pages log. The approximate seen-set tier stays consistent through
+the CUCKOO filter (operators/seenset.py): bloom cannot forget keys,
+the cuckoo can — so a deleted URL is re-discoverable by a later crawl
+without rebuilding the fast path from the exact set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .seenset import CuckooFilter, cuckoo_delete_urls
+
+
+def delete_urls_cascade(
+    urls: DataFrame,
+    pages: DataFrame,
+    targets: DataFrame,
+    seen: DataFrame | None = None,
+    cuckoo: CuckooFilter | None = None,
+) -> dict[str, DataFrame]:
+    """Delete ``targets`` (a df with either ``id`` or ``url``) from the
+    registry, cascading to pages; optionally maintain the seen set and
+    its deletable cuckoo tier. Returns the new state tables."""
+    if "id" in targets.columns and "id" in urls.columns:
+        victims = urls.join(targets.select("id"), "id", "left_semi")
+    else:
+        victims = urls.join(targets.select("url"), "url", "left_semi")
+    out: dict[str, DataFrame] = {
+        "urls": urls.join(victims.select("url"), "url", "left_anti"),
+        # FK cascade (sqlite.go:64): pages keyed by url or url_id
+        "pages": (
+            pages.join(victims.select("url"), "url", "left_anti")
+            if "url" in pages.columns
+            else pages.join(victims.selectExpr("id AS url_id"), "url_id", "left_anti")
+        ),
+    }
+    if seen is not None:
+        out["seen"] = seen.join(victims.select("url"), "url", "left_anti")
+        if cuckoo is not None:
+            # forget the keys in the approximate tier too — only ever
+            # previously-inserted keys (they came from `seen`)
+            cuckoo_delete_urls(cuckoo, victims.select("url"))
+    return out

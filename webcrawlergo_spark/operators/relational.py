@@ -73,7 +73,7 @@ def pages_by_url(pages: DataFrame, urls: DataFrame, url_id: int) -> DataFrame:
     Catalyst prune it out of the scan."""
     return (
         pages.filter(F.col("url_id") == F.lit(url_id))
-        .join(F.broadcast(urls.select("id")), pages.url_id == urls.id, "left_semi")
+        .join(urls.select("id"), pages.url_id == urls.id, "left_semi")
         .select("id", "url_id", "added_at")
         .orderBy(F.col("added_at").desc(), F.col("id").desc())
     )
@@ -106,8 +106,14 @@ def top_k(df: DataFrame, order_col: str, k: int, tie_break: str) -> DataFrame:
 
 def paginate_window(df: DataFrame, part_col: str, order_col: str, page: int, size: int) -> DataFrame:
     """O2 window-variant pagination (reference models/page.go:44 pages
-    LIMIT/OFFSET inside the windowed CTE)."""
-    w = Window.orderBy(F.col(order_col).asc(), F.col(part_col).asc())
-    rn = F.row_number().over(w)
+    LIMIT/OFFSET inside the windowed CTE).
+
+    Global row numbers come from the distributed zipWithIndex recipe
+    (plans/rank.py) — an unpartitioned ``row_number() OVER (ORDER BY)``
+    moves ALL data to one partition (r1 bench logged Spark's own
+    warning 7×); this shape range-partitions the sort instead."""
+    from ..plans.rank import with_global_rank
+
     lo, hi = (page - 1) * size, page * size
-    return df.withColumn("rn", rn).filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn")
+    ranked = with_global_rank(df, [order_col, part_col], "_rn")
+    return ranked.filter((F.col("_rn") >= lo) & (F.col("_rn") < hi)).drop("_rn")

@@ -17,10 +17,13 @@ per-shard with applyInPandas (one numpy bit-array per shard),
 persisted as binary blobs through the checkpoint store, and probed
 via a broadcast dict — no driver-side row loops anywhere.
 
-The cuckoo tier handles what bloom cannot: deletions (dead URLs
-evicted on resurrection) and bounded-FPR overflow when a shard
-saturates. Fingerprint/bucket math follows the standard
-partial-cuckoo construction (Fan et al., CoNLL'14 public paper).
+The cuckoo tier handles what bloom cannot: deletion. It backs the
+S9 delete / T4 resurrection path (cuckoo_insert_urls /
+cuckoo_delete_urls + the ``cuckoo=`` probe in dedup_new_urls): after
+a registry delete the approximate tier forgets the keys too, where a
+bloom filter would have to be rebuilt from the exact set.
+Fingerprint/bucket math follows the standard partial-key
+construction (Fan et al., CoNEXT'14 public paper).
 """
 
 from __future__ import annotations
@@ -100,11 +103,9 @@ class CuckooFilter:
         fps = self._fp(h1.astype(np.uint64))
         b1s = self._b1(h2.astype(np.uint64))
         fails = 0
-        rng_state = np.uint64(0x9E3779B97F4A7C15)
-        for fp, b1 in zip(fps, b1s):
+        for fp, b1 in zip(fps, b1s):  # kicks are fp-derived, fully deterministic
             if not self._insert_one(int(fp), int(b1)):
                 fails += 1
-            rng_state = rng_state  # deterministic; kicks use fp-derived choice
         return fails
 
     def _insert_one(self, fp: int, b1: int) -> bool:
@@ -178,13 +179,15 @@ def with_hashes(df: DataFrame, url_col: str = "url", n_shards: int = 16) -> Data
 def build_bloom_shards(
     urls: DataFrame, url_col: str = "url", n_shards: int = 16,
     bits_per_key: int = DEFAULT_BITS_PER_KEY, k: int = DEFAULT_K,
-    expected_per_shard: int | None = None,
+    expected_per_shard: int | None = None, growth: int = 2,
 ) -> DataFrame:
     """urls → (shard int, m_bits long, n long, bits binary), one row
-    per shard, built in parallel with applyInPandas."""
+    per shard, built in parallel with applyInPandas. ``growth`` sizes
+    headroom over the current count so incremental OR-ins
+    (bloom_or_into) don't force an immediate rebuild."""
     hashed = with_hashes(urls.select(url_col), url_col, n_shards)
     total = urls.count()
-    per_shard = expected_per_shard or max(1024, (total // max(n_shards, 1)) * 2)
+    per_shard = expected_per_shard or max(1024, (total // max(n_shards, 1)) * growth)
     m_bits = per_shard * bits_per_key
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -203,6 +206,42 @@ def build_bloom_shards(
         ]
     )
     return hashed.groupBy("_shard").applyInPandas(build, schema)
+
+
+def bloom_or_into(
+    shards: dict[int, list],
+    shard_arr: np.ndarray,
+    h1_arr: np.ndarray,
+    h2_arr: np.ndarray,
+    k: int = DEFAULT_K,
+) -> None:
+    """Incrementally OR key hashes into existing shard blobs IN PLACE —
+    the per-wave maintenance path (O(new keys), not O(seen), unlike a
+    rebuild). Fully vectorized: inputs are parallel numpy arrays.
+    ``shards``: shard → [m_bits, bytearray, n]. Missing shards are
+    sized like the smallest existing one."""
+    shard_arr = np.asarray(shard_arr)
+    h1_arr = np.asarray(h1_arr, dtype=np.int64).astype(np.uint64)
+    h2_arr = np.asarray(h2_arr, dtype=np.int64).astype(np.uint64)
+    default_m = min((v[0] for v in shards.values()), default=1024 * DEFAULT_BITS_PER_KEY)
+    for s in np.unique(shard_arr):
+        mask = shard_arr == s
+        s = int(s)
+        if s not in shards:
+            shards[s] = [default_m, bytearray((default_m + 7) // 8), 0]
+        m_bits, buf, n = shards[s]
+        delta = bloom_build(h1_arr[mask], h2_arr[mask], m_bits, k)
+        view = np.frombuffer(buf, dtype=np.uint8)  # writable: buf is a bytearray
+        view |= delta
+        shards[s][2] = n + int(mask.sum())
+
+
+def bloom_needs_rebuild(shards: dict[int, list], bits_per_key: int = DEFAULT_BITS_PER_KEY) -> bool:
+    """True when any shard holds more keys than its sizing budget —
+    FPR has degraded past design and the caller should rebuild from
+    the exact seen set (correctness never depends on this: bloom
+    positives are exact-confirmed downstream)."""
+    return any(n * bits_per_key > m_bits for m_bits, _, n in shards.values())
 
 
 def bloom_maybe_seen(
@@ -237,23 +276,74 @@ def bloom_maybe_seen(
     )
 
 
+def cuckoo_maybe_seen(
+    candidates: DataFrame, cuckoo: CuckooFilter, url_col: str = "url", n_shards: int = 16
+) -> DataFrame:
+    """Add ``maybe_seen`` via a broadcast cuckoo probe. Negatives are
+    exact (every insert is checked) as long as the filter never
+    overflowed; positives still need the exact confirm."""
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((cuckoo.n_buckets, cuckoo.to_bytes()))
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        n_buckets, blob = bc.value
+        cf = CuckooFilter.from_bytes(blob, n_buckets)
+        return pd.Series(cf.contains_many(h1.to_numpy(np.uint64), h2.to_numpy(np.uint64)))
+
+    hashed = with_hashes(candidates, url_col, n_shards)
+    return hashed.withColumn("maybe_seen", probe("_h1", "_h2")).drop("_h1", "_h2", "_shard")
+
+
 def dedup_new_urls(
     candidates: DataFrame,
     seen_urls: DataFrame,
     url_col: str = "url",
     bloom_shards: dict[int, tuple[int, bytes]] | None = None,
     n_shards: int = 16,
+    cuckoo: CuckooFilter | None = None,
 ) -> DataFrame:
     """THE dedup operator (J2): candidates not in the seen set.
 
-    Exact path: one anti-join. Bloom path: probe first, anti-join only
-    the maybe-seen fraction, union back the definite-new rows —
-    identical results, a fraction of the shuffle.
-    """
-    if bloom_shards is None:
+    Exact path: one anti-join. Bloom/cuckoo path: probe first,
+    anti-join only the maybe-seen fraction, union back the
+    definite-new rows — identical results, a fraction of the shuffle.
+    The cuckoo tier is the DELETABLE variant (S9/T4): after a
+    registry delete the filter forgets the keys too, so the fast path
+    never goes stale (bloom can only be rebuilt)."""
+    if bloom_shards is None and cuckoo is None:
         return candidates.join(seen_urls.select(url_col), url_col, "left_anti")
-    flagged = bloom_maybe_seen(candidates, bloom_shards, url_col, n_shards)
+    if cuckoo is not None:
+        flagged = cuckoo_maybe_seen(candidates, cuckoo, url_col, n_shards)
+    else:
+        flagged = bloom_maybe_seen(candidates, bloom_shards, url_col, n_shards)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen_urls.select(url_col), url_col, "left_anti")
     return definite_new.unionByName(confirmed_new)
+
+
+def cuckoo_insert_urls(cuckoo: CuckooFilter, urls: DataFrame, url_col: str = "url") -> int:
+    """Insert a (wave-sized) URL set into the resident cuckoo filter.
+    Hashes are computed JVM-side; only (h1, h2) pairs reach Python.
+    Returns the number of failed inserts (0 unless the filter is at
+    capacity — callers must treat >0 as 'resize and rebuild')."""
+    rows = with_hashes(urls.select(url_col), url_col).select("_h1", "_h2").collect()
+    if not rows:
+        return 0
+    h1 = np.array([r["_h1"] for r in rows], dtype=np.int64).astype(np.uint64)
+    h2 = np.array([r["_h2"] for r in rows], dtype=np.int64).astype(np.uint64)
+    return cuckoo.insert_many(h1, h2)
+
+
+def cuckoo_delete_urls(cuckoo: CuckooFilter, urls: DataFrame, url_col: str = "url") -> int:
+    """Remove a URL set from the filter (S9 delete / T4 resurrection).
+    Only ever call with previously-inserted keys — deleting a key that
+    was never inserted can evict a colliding fingerprint and create
+    false negatives. Returns how many were found."""
+    rows = with_hashes(urls.select(url_col), url_col).select("_h1", "_h2").collect()
+    if not rows:
+        return 0
+    h1 = np.array([r["_h1"] for r in rows], dtype=np.int64).astype(np.uint64)
+    h2 = np.array([r["_h2"] for r in rows], dtype=np.int64).astype(np.uint64)
+    return int(cuckoo.delete_many(h1, h2).sum())

@@ -9,7 +9,10 @@ NOTES.md:50-63):
 
 Spark shape: one shuffle on ``url_id`` feeds both the window and the
 join when the join key matches the window key; Catalyst reuses the
-exchange. The ``urls`` side is broadcast when small. A deterministic
+exchange. Join strategy is left to AQE: at the 10^10-URL design point
+the urls registry is NOT broadcastable (a forced broadcast is a
+driver OOM, not a hint — r1 verdict), while at small scale AQE picks
+the broadcast on its own from runtime stats. A deterministic
 tie-break on ``id DESC`` is added — the reference relies on rowid
 insertion order for equal timestamps; Spark must not rely on
 accidental order.
@@ -34,7 +37,7 @@ def latest_pages(pages: DataFrame, urls: DataFrame) -> DataFrame:
         .drop("rn")
     )
     return (
-        latest.join(F.broadcast(urls), latest.url_id == urls.id, "inner")
+        latest.join(urls, latest.url_id == urls.id, "inner")
         .select("url_id", "url", "added_at", "doc_id", "is_monitored", "is_alive")
     )
 
@@ -45,6 +48,7 @@ def latest_pages_filtered(
     cutoff: str | None = None,
     base_prefix: str | None = None,
     marked_substr: str | None = None,
+    with_id: bool = False,
 ) -> DataFrame:
     """Full export-query shape (reference models/page.go:24-44):
     cutoff P15 (`added_at <= ?`) + prefix/substring P16
@@ -57,12 +61,16 @@ def latest_pages_filtered(
         urls = urls.filter(F.col("url").startswith(base_prefix))
     if marked_substr is not None:
         urls = urls.filter(F.col("url").contains(marked_substr))
-    joined = pages.join(F.broadcast(urls), pages.url_id == urls.id, "inner").select(
-        pages.id.alias("id"), "url_id", "url", "added_at", "doc_id"
+    # the urls side has just been filtered by prefix+substring — often
+    # tiny, but let AQE decide from the measured post-filter size
+    extra = [c for c in ("doc_id",) if c in pages.columns]
+    joined = pages.join(urls, pages.url_id == urls.id, "inner").select(
+        pages.id.alias("id"), "url_id", "url", "added_at", *extra
     )
     w = Window.partitionBy("url_id").orderBy(F.col("added_at").desc(), F.col("id").desc())
+    keep = ["url_id", "url", "added_at", *extra] + (["id"] if with_id else [])
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("url_id", "url", "added_at", "doc_id")
+        .select(*keep)
     )

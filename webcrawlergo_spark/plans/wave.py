@@ -48,7 +48,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.urlnorm import make_normalize_udf, normalize_expr
 from ..operators.linkextract import extract_links
-from ..operators.seenset import build_bloom_shards, dedup_new_urls
+from ..operators.seenset import (
+    bloom_needs_rebuild,
+    bloom_or_into,
+    build_bloom_shards,
+    dedup_new_urls,
+    with_hashes,
+)
 from ..operators.validate import marked_flag, parse_robots_rules, robots_ok_expr, validity_flag
 from .checkpoint import CheckpointStore
 from .rank import with_global_rank
@@ -84,6 +90,19 @@ class CrawlConfig:
     # text spans (the engine's training-data ops applied in-flight) and
     # append them to a page_stats log. All JVM column expressions.
     analyze_pages: bool = False
+    # P14 save guard (reference crawler.go:346-348): pages whose
+    # rendered content is shorter than this are not saved. Content
+    # length = total chars across span text/media_ref fields.
+    min_content_chars: int = 0
+    # X3: the UA string grobotstxt group-selection matches against
+    # (reference crawler.go:60,442).
+    user_agent: str = "webcrawlerGo"
+
+    def __post_init__(self):
+        # reference internal/utils.go ContainsAny skips empty patterns;
+        # an empty string would otherwise match every URL (ADVICE r1)
+        self.marked_paths = [p for p in self.marked_paths if p]
+        self.ignore_patterns = [p for p in self.ignore_patterns if p]
 
 
 @dataclass
@@ -129,7 +148,7 @@ class CrawlEngine:
         self.docs = docs
         self.cfg = config
         self.base_host = config.base_url.split("://", 1)[1].split("/", 1)[0].split(":")[0]
-        rules = parse_robots_rules(spark, robots_rows).collect()
+        rules = parse_robots_rules(spark, robots_rows, user_agent=config.user_agent).collect()
         self._robots_ok = robots_ok_expr([tuple(r) for r in rules])
         if config.canonicalizer == "pandas":
             udf = make_normalize_udf(config.base_url)
@@ -154,61 +173,81 @@ class CrawlEngine:
         spark = self.spark
         base = cfg.base_url.rstrip("/")
         # seed (crawl.go:27-30): queue position 0, urls row, map entry
-        frontier_rows = [(base, self.base_host, 0, -2, 0, 0, False, 0)]
-        urls = spark.createDataFrame(
+        seed_frontier = spark.createDataFrame(
+            [(base, self.base_host, 0, -2, 0, 0, False, 0)], FRONTIER_COLS
+        )
+        seed_urls = spark.createDataFrame(
             [(base, False, True, None)], "url string, is_monitored boolean, is_alive boolean, last_saved double"
         )
-        seen_rows = [(base,)]
-        flags: dict[str, bool] = {base: False}
-        if resume_urls is not None:
-            # classification (init.go:21-106), ORDER BY is_monitored ASC, id ASC (O3)
-            rows = resume_urls.orderBy(F.col("is_monitored").asc(), F.col("id").asc()).collect()
-            seq = 0
-            resume_urls_tbl = []
-            for r in rows:
-                url, mon, alive = r["url"], bool(r["is_monitored"]), bool(r["is_alive"])
-                last_saved = r["last_saved"]
-                resume_urls_tbl.append([url, mon, alive, last_saved])
-                if not alive:
-                    seen_rows.append((url,))
-                    flags[url] = False
-                    continue
-                if any(p in url for p in cfg.ignore_patterns):
-                    continue
-                host = url.split("://", 1)[1].split("/", 1)[0].split(":")[0] if "://" in url else ""
-                if host != self.base_host:
-                    continue
-                expiry = (last_saved or 0.0) + cfg.update_days * 86400
-                fetch = (mon and cfg.now_ts >= expiry) or (
-                    not mon and any(m in url for m in cfg.marked_paths)
-                )
-                if not mon and any(m in url for m in cfg.marked_paths):
-                    resume_urls_tbl[-1][1] = True  # mark monitored (init.go:81-86)
-                if fetch:
-                    frontier_rows.append((url, host, 0, -1, seq, 0, True, 0))
-                    seq += 1
-                    seen_rows.append((url,))
-                    flags[url] = True   # InsertForce(false) then SetMapValue(true), init.go:93-94
-                elif cfg.update_hrefs:
-                    frontier_rows.append((url, host, 0, -1, seq, 0, False, 0))
-                    seq += 1
-                    seen_rows.append((url,))
-                    flags[url] = False
-                else:
-                    seen_rows.append((url,))
-                    flags[url] = False
-            if resume_urls_tbl:
-                extra = spark.createDataFrame(
-                    [tuple(r) for r in resume_urls_tbl],
-                    "url string, is_monitored boolean, is_alive boolean, last_saved double",
-                )
-                # seed Insert is a no-op when the URL already exists (unique
-                # constraint ignored, crawl.go:29-30) — DB row wins
-                urls = extra.unionByName(urls.join(extra, "url", "left_anti"))
-        frontier = spark.createDataFrame(frontier_rows, FRONTIER_COLS)
-        seen = spark.createDataFrame(sorted(set(seen_rows)), "url string")
-        fetch_flags = spark.createDataFrame(sorted(flags.items()), "url string, flag boolean")
-        return frontier, urls, seen, fetch_flags
+        seed_seen = spark.createDataFrame([(base,)], "url string")
+        seed_flags = spark.createDataFrame([(base, False)], "url string, flag boolean")
+        if resume_urls is None:
+            return seed_frontier, seed_urls, seed_seen, seed_flags
+
+        # resume-load classification (init.go:21-106) as pure column
+        # expressions — the registry is O(total URLs) and NEVER touches
+        # the driver (the r1 version collect()ed it; reference pages at
+        # 100k, init.go:31-32 — here the whole load is one distributed
+        # pass + one global-rank for the O3 seq ordering).
+        ignore_hit = F.lit(False)
+        for p in cfg.ignore_patterns:
+            ignore_hit = ignore_hit | F.col("url").contains(p)
+        marked = F.lit(False)
+        for m in cfg.marked_paths:
+            marked = marked | F.col("url").contains(m)
+        host = _host(F.col("url"))
+        mon, alive = F.col("is_monitored"), F.col("is_alive")
+        eligible = alive & ~ignore_hit & (host == F.lit(self.base_host))
+        expiry = F.coalesce(F.col("last_saved"), F.lit(0.0)) + F.lit(
+            float(cfg.update_days * 86400)
+        )
+        fetch = eligible & (
+            (mon & (F.lit(float(cfg.now_ts)) >= expiry)) | (~mon & marked)
+        )
+        classified = resume_urls.select(
+            "id", "url", "is_monitored", "is_alive", "last_saved",
+            host.alias("_host"),
+            eligible.alias("_eligible"),
+            fetch.alias("_fetch"),
+            (fetch | (eligible & F.lit(bool(cfg.update_hrefs)))).alias("_enqueue"),
+            (eligible & ~mon & marked).alias("_promote"),  # init.go:81-86
+        ).localCheckpoint(eager=True)  # read 4× below — scan resume input once
+
+        # registry: DB rows win over the seed insert (unique constraint
+        # ignored, crawl.go:29-30); un-monitored marked rows promote
+        resume_tbl = classified.select(
+            "url",
+            (F.col("is_monitored") | F.col("_promote")).alias("is_monitored"),
+            "is_alive",
+            "last_saved",
+        )
+        urls = resume_tbl.unionByName(seed_urls.join(resume_tbl, "url", "left_anti"))
+
+        # map entries: dead rows + every eligible row; fetch rows carry
+        # flag=true (InsertForce(false) then SetMapValue(true), init.go:93-94)
+        in_map = classified.filter(~F.col("is_alive") | F.col("_eligible"))
+        resume_flags = in_map.select("url", F.col("_fetch").alias("flag"))
+        fetch_flags = resume_flags.unionByName(
+            seed_flags.join(resume_flags, "url", "left_anti")
+        )
+        seen = in_map.select("url").unionByName(seed_seen).distinct()
+
+        # O3 seq: rank of enqueued rows under ORDER BY is_monitored ASC,
+        # id ASC — distributed (plans/rank.py), no single-partition sort
+        enq = with_global_rank(
+            classified.filter(F.col("_enqueue")), ["is_monitored", "id"], "_seq"
+        )
+        resume_frontier = enq.select(
+            "url",
+            F.col("_host").alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(-1).cast("long").alias("parent_rank"),
+            F.col("_seq").cast("int").alias("span_offset"),
+            F.lit(0).alias("link_pos"),
+            F.col("_fetch").alias("should_fetch"),
+            F.lit(0).alias("retry_count"),
+        )
+        return seed_frontier.unionByName(resume_frontier), urls, seen, fetch_flags
 
     # -- the wave loop ------------------------------------------------------
 
@@ -231,7 +270,8 @@ class CrawlEngine:
         events_schema = "event_rank long, wave_id int, url string, status string"
         pages_schema = "url string, doc_id string, event_rank long"
         lineage_schema = (
-            "wave_id int, partition_id int, dequeued long, fetched long, deduped long, enqueued long"
+            "wave_id int, partition_id int, dequeued long, fetched long, deduped long, "
+            "enqueued long, virtual_ms long"
         )
         # append-only logs accumulate as per-wave deltas — unioned
         # lazily, checkpointed as deltas (O(wave), not O(history))
@@ -258,6 +298,13 @@ class CrawlEngine:
             if extra_frontier is not None:
                 frontier = frontier.unionByName(extra_frontier)
                 seen = seen.unionByName(extra_frontier.select("url")).distinct()
+                # seed rows enter the queue map with their should_fetch
+                # flag (existing map entries win, like the seed insert) —
+                # without this a bulk-seed row never triggers a save
+                fetch_flags = fetch_flags.unionByName(
+                    extra_frontier.select("url", F.col("should_fetch").alias("flag"))
+                    .join(fetch_flags.select("url"), "url", "left_anti")
+                )
                 urls = urls.unionByName(
                     extra_frontier.select(
                         "url", F.col("should_fetch").alias("is_monitored"),
@@ -274,6 +321,27 @@ class CrawlEngine:
         flags_live = bool(cfg.marked_paths) or fetch_flags.filter(F.col("flag")).limit(1).count() > 0
         invalid_nonempty = invalid.limit(1).count() > 0
         truncate_every = 4  # lineage-truncation cadence for slow-growing state
+        # frontier size for wave 0 — every later wave derives it from
+        # observed counters (n_retries + n_deferred + n_enqueued), so
+        # the per-wave frontier.count() job disappears
+        n_frontier = frontier.count()
+        from pyspark.sql import Observation
+
+        # bloom shards live across waves: built once (or resumed from
+        # the checkpoint), then incrementally OR-ed per wave — the r1
+        # version rebuilt from the FULL seen set every wave, O(seen)
+        # instead of O(new). shard → [m_bits, bytearray, n].
+        bloom: dict[int, list] | None = None
+        if cfg.seen_mode == "bloom":
+            loaded = store.load(spark, "bloom") if (resume and store and store.latest()) else None
+            src = loaded if loaded is not None else build_bloom_shards(
+                seen, n_shards=cfg.n_shards, growth=4
+            )
+            bloom = {
+                int(r["shard"]): [int(r["m_bits"]), bytearray(r["bits"]), int(r["n"])]
+                for r in src.collect()
+            }
+
         import time as _time
 
         def _tick(label, _last=[None]):
@@ -285,10 +353,6 @@ class CrawlEngine:
 
         while wave_id < cfg.max_waves:
             _tick(None)
-            # frontier legs (retries/deferred/enqueued) are materialized;
-            # counting the lazy union is one cheap scan, no re-checkpoint
-            n_frontier = frontier.count()
-            _tick("frontier-count")
             if n_frontier == 0:
                 break
             # politeness cap (T1): per-host quota, overflow defers
@@ -298,9 +362,11 @@ class CrawlEngine:
                 batch = ranked.filter(F.col("_hseq") <= cfg.politeness_max_per_host_per_wave).drop("_hseq")
                 deferred = ranked.filter(F.col("_hseq") > cfg.politeness_max_per_host_per_wave).drop("_hseq")
                 n_events = batch.count()
+                n_deferred = n_frontier - n_events
             else:
                 batch, deferred = frontier, self._empty(FRONTIER_COLS)
                 n_events = n_frontier
+                n_deferred = 0
 
             # fetch-sim (S1) joins FIRST (1:1 left joins don't disturb
             # ordering), so the rank's materialization and the sim
@@ -343,7 +409,19 @@ class CrawlEngine:
                 )
             else:
                 sim = sim.withColumn("flag_at", F.lit(False))
+            # piggyback the retry count on the checkpoint action — the
+            # observed metric replaces a whole count() job next wave
+            obs_sim = Observation()
+            sim = sim.observe(
+                obs_sim,
+                F.sum(
+                    (
+                        F.col("transport_fail") & (F.col("retry_count") < F.lit(cfg.retry_times))
+                    ).cast("long")
+                ).alias("n_retries"),
+            )
             sim = sim.localCheckpoint(eager=True)
+            n_retries = int(obs_sim.get["n_retries"] or 0)
             _tick("rank+fetchsim")
 
             retries = (
@@ -416,21 +494,28 @@ class CrawlEngine:
             # exactly once, map-side partial agg collapses ~links-per-page×
             # duplication BEFORE anything materializes. `valid` is a pure
             # function of href, so grouping by (href, valid) == by href.
+            obs_grouped = Observation()
             grouped = (
                 judged.groupBy("href", "valid")
                 .agg(
                     F.min(F.struct("event_rank", "span_offset", "link_pos", "depth", "host")).alias("k")
                 )
+                .observe(obs_grouped, F.sum((~F.col("valid")).cast("long")).alias("n_invalid_cand"))
                 .localCheckpoint(eager=True)
             )
+            # observed during the checkpoint pass — replaces the r1
+            # filter(~valid).limit(1).count() probe job
+            n_invalid_cand = int(obs_grouped.get["n_invalid_cand"] or 0)
             _tick("extract+norm+judge")
 
-            if grouped.filter(~F.col("valid")).limit(1).count():
+            if n_invalid_cand:
                 new_invalid = (
                     grouped.filter(~F.col("valid")).select(F.col("href").alias("url"))
                     .join(invalid, "url", "left_anti")
                 )
-                invalid = invalid.unionByName(new_invalid).localCheckpoint(eager=True)
+                invalid = invalid.unionByName(new_invalid)
+                if store is None:  # with a store, commit+read-back truncates
+                    invalid = invalid.localCheckpoint(eager=True)
                 invalid_nonempty = True
 
             # first-encounter dedup (J2): min enqueue key within the wave,
@@ -443,15 +528,46 @@ class CrawlEngine:
                 F.col("k.span_offset").alias("span_offset"),
                 F.col("k.link_pos").alias("link_pos"),
             )
-            if cfg.seen_mode == "bloom":
-                shards = {
-                    r["shard"]: (r["m_bits"], bytes(r["bits"]))
-                    for r in build_bloom_shards(seen, n_shards=cfg.n_shards).collect()
-                }
+            if bloom is not None:
+                shards = {s: (v[0], bytes(v[1])) for s, v in bloom.items()}
                 new_urls = dedup_new_urls(firsts, seen, bloom_shards=shards, n_shards=cfg.n_shards)
             else:
                 new_urls = dedup_new_urls(firsts, seen)
-            new_urls = marked_flag(new_urls, cfg.marked_paths, url_col="url").localCheckpoint(eager=True)
+            obs_new = Observation()
+            new_urls = (
+                marked_flag(new_urls, cfg.marked_paths, url_col="url")
+                .observe(obs_new, F.count(F.lit(1)).alias("n_new"))
+                .localCheckpoint(eager=True)
+            )
+            n_new = int(obs_new.get["n_new"] or 0)
+            if bloom is not None and n_new:
+                # O(new keys): hash JVM-side, Arrow-transfer the 3 hash
+                # columns (no Python Row objects), OR the wave's keys into
+                # the resident shards. Driver residence is the sandbox
+                # stand-in for executor-held shards; the exact-confirm
+                # anti-join downstream keeps results bit-identical.
+                tab = (
+                    with_hashes(new_urls.select("url"), n_shards=cfg.n_shards)
+                    .select("_shard", "_h1", "_h2")
+                    .toArrow()
+                )
+                bloom_or_into(
+                    bloom,
+                    tab["_shard"].to_numpy(),
+                    tab["_h1"].to_numpy(),
+                    tab["_h2"].to_numpy(),
+                )
+                if bloom_needs_rebuild(bloom):
+                    # FPR degraded past sizing: one O(seen) rebuild with
+                    # fresh headroom (seen already includes this wave)
+                    bloom = {
+                        int(r["shard"]): [int(r["m_bits"]), bytearray(r["bits"]), int(r["n"])]
+                        for r in build_bloom_shards(
+                            seen.unionByName(new_urls.select("url")),
+                            n_shards=cfg.n_shards,
+                            growth=4,
+                        ).collect()
+                    }
             _tick("dedup+newurls")
 
             enqueued = new_urls.select(
@@ -459,29 +575,60 @@ class CrawlEngine:
                 F.col("marked").alias("should_fetch"), F.lit(0).alias("retry_count"),
             )
 
-            # state MERGE: urls registry (S6/S7 without row CAS)
+            # exactly-once content save (T6): marked OR live map value
+            # (reference crawler.go:300-311), P14 min-content guard
+            # (crawler.go:346-348: len(html) < 100 ⇒ no save)
+            saved = marked_flag(ok, cfg.marked_paths, url_col="url").filter(
+                F.col("marked") | F.col("flag_at")
+            )
+            if cfg.min_content_chars > 0:
+                clen = F.aggregate(
+                    "spans",
+                    F.lit(0),
+                    lambda acc, s: acc
+                    + F.length(F.coalesce(s["text"], F.lit("")))
+                    + F.length(F.coalesce(s["media_ref"], F.lit(""))),
+                )
+                saved = (
+                    saved.join(self.docs, "doc_id")
+                    .filter(clen >= cfg.min_content_chars)
+                    .drop("spans")
+                )
+            # ALWAYS one delta per wave (possibly empty) — the commit
+            # below references this wave's delta; conditional appends
+            # crashed wave 0 when marked_paths=[] (r1 verdict bug #1)
+            wave_pages = saved.select("url", "doc_id", "event_rank")
+            pages_deltas.append(wave_pages)
+
+            # state MERGE: urls registry (S6/S7 without row CAS).
+            # A content save sets last_saved = now (reference
+            # savePageContent, crawler.go:353-355) — without it the
+            # engine's own output registry can't drive T7 re-crawl
+            # expiry on a later run.
             urls = (
                 urls.join(dead.withColumn("_dead", F.lit(True)), "url", "left")
                 .withColumn("is_alive", F.when(F.col("_dead"), F.lit(False)).otherwise(F.col("is_alive")))
                 .drop("_dead")
-                .unionByName(
-                    new_urls.select(
-                        "url", F.col("marked").alias("is_monitored"),
-                        F.lit(True).alias("is_alive"), F.lit(None).cast("double").alias("last_saved"),
+            )
+            if cfg.marked_paths or flags_live:
+                saved_set = wave_pages.select("url").distinct().withColumn("_saved_now", F.lit(True))
+                urls = (
+                    urls.join(saved_set, "url", "left")
+                    .withColumn(
+                        "last_saved",
+                        F.when(F.col("_saved_now"), F.lit(float(cfg.now_ts))).otherwise(F.col("last_saved")),
                     )
+                    .drop("_saved_now")
+                )
+            urls = urls.unionByName(
+                new_urls.select(
+                    "url", F.col("marked").alias("is_monitored"),
+                    F.lit(True).alias("is_alive"), F.lit(None).cast("double").alias("last_saved"),
                 )
             )
             # enqueued is already wave-distinct AND anti-joined vs seen,
             # so a plain union keeps `seen` duplicate-free — no distinct
             seen = seen.unionByName(enqueued.select("url"))
-
-            # exactly-once content save (T6): marked OR live map value
-            # (reference crawler.go:300-311)
-            saved = marked_flag(ok, cfg.marked_paths, url_col="url").filter(
-                F.col("marked") | F.col("flag_at")
-            )
-            if cfg.marked_paths or flags_live:
-                pages_deltas.append(saved.select("url", "doc_id", "event_rank"))
 
             # map-value updates for the next wave: any consuming event
             # (save/fail) resets to false; fresh discoveries enter with
@@ -499,19 +646,35 @@ class CrawlEngine:
                         F.when(F.col("_new_flag").isNotNull(), F.lit(False)).otherwise(F.col("flag")).alias("flag"),
                     )
                     .unionByName(new_urls.select("url", F.col("marked").alias("flag")))
-                    .localCheckpoint(eager=True)
                 )
+                if store is None:
+                    # without a store the per-wave join/union lineage must
+                    # be cut here; with one, the commit write + read-back
+                    # below does it for free
+                    fetch_flags = fetch_flags.localCheckpoint(eager=True)
 
-            # lineage (A3): per host-shard metrics for this wave
+            # lineage (A3): per host-shard metrics for this wave. The
+            # politeness model (T1): within a wave each host is fetched
+            # sequentially with request_delay_ms spacing (the reference's
+            # per-worker sleep, crawler.go:326), hosts in parallel — so a
+            # shard's virtual wall-clock is its busiest host's queue
+            # length × delay. Two-level agg, still one shuffle.
             shard = F.pmod(F.xxhash64("host"), F.lit(cfg.n_shards)).cast("int")
             lin = (
                 sim.select(
                     shard.alias("partition_id"),
+                    "host",
                     F.lit(1).alias("dq"),
                     (~F.col("transport_fail") & (F.col("http_status") == 200)).cast("long").alias("f"),
                 )
+                .groupBy("partition_id", "host")
+                .agg(F.sum("dq").alias("dq"), F.sum("f").alias("f"))
                 .groupBy("partition_id")
-                .agg(F.sum("dq").alias("dequeued"), F.sum("f").alias("fetched"))
+                .agg(
+                    F.sum("dq").alias("dequeued"),
+                    F.sum("f").alias("fetched"),
+                    (F.max("dq") * F.lit(cfg.request_delay_ms)).cast("long").alias("virtual_ms"),
+                )
             )
             enq = enqueued.select(shard.alias("partition_id")).groupBy("partition_id").agg(F.count("*").alias("enqueued"))
             dup = (
@@ -527,34 +690,58 @@ class CrawlEngine:
                     F.coalesce("fetched", F.lit(0)).alias("fetched"),
                     (F.coalesce("cand", F.lit(0)) - F.coalesce("enqueued", F.lit(0))).alias("deduped"),
                     F.coalesce("enqueued", F.lit(0)).alias("enqueued"),
+                    F.coalesce("virtual_ms", F.lit(0)).cast("long").alias("virtual_ms"),
                 )
             )
             lineage_deltas.append(lin)
 
             _tick("state-merge+lineage")
             frontier = retries.unionByName(deferred).unionByName(enqueued)
+            # next wave's size from observed counters — no count() job
+            n_frontier = n_retries + n_deferred + n_new
 
             # periodic lineage truncation for the slowly-growing state
             # (they gain one cheap union/join per wave; truncating every
             # wave costs more jobs than it saves)
-            if store or wave_id % truncate_every == truncate_every - 1:
+            if store is None and wave_id % truncate_every == truncate_every - 1:
                 seen = seen.localCheckpoint(eager=True)
                 urls = urls.localCheckpoint(eager=True)
 
             if store:
-                store.commit(
+                snap = {
+                    "frontier": frontier, "urls": urls, "seen": seen,
+                    "fetch_flags": fetch_flags, "invalid": invalid,
+                }
+                if bloom is not None:
+                    # shard blobs round-trip the store: resume reuses
+                    # them instead of an O(seen) rebuild
+                    snap["bloom"] = spark.createDataFrame(
+                        [(s, v[0], v[2], bytes(v[1])) for s, v in sorted(bloom.items())],
+                        "shard int, m_bits long, n long, bits binary",
+                    )
+                entry = store.commit(
                     wave_id,
-                    {
-                        "frontier": frontier, "urls": urls, "seen": seen,
-                        "fetch_flags": fetch_flags, "invalid": invalid,
-                    },
+                    snap,
+                    # THIS wave's deltas, never deltas[-1]: on resume the
+                    # loaded cumulative logs sit at deltas[0] and must not
+                    # be re-committed as a new delta
                     appends={
-                        "events": events_deltas[-1],
-                        "pages": pages_deltas[-1],
-                        "lineage": lineage_deltas[-1],
+                        "events": wave_events,
+                        "pages": wave_pages,
+                        "lineage": lin,
                     },
                     meta={"event_base": event_base},
                 )
+                # the commit write already materialized every state
+                # table — re-reading the committed parquet truncates
+                # lineage with zero extra jobs (replaces the per-wave
+                # eager localCheckpoints of r1)
+                seen = spark.read.parquet(entry["tables"]["seen"])
+                urls = spark.read.parquet(entry["tables"]["urls"])
+                invalid = spark.read.parquet(entry["tables"]["invalid"])
+                frontier = spark.read.parquet(entry["tables"]["frontier"])
+                if flags_live:
+                    fetch_flags = spark.read.parquet(entry["tables"]["fetch_flags"])
             _tick("truncate+commit")
             if debug_timing:
                 print(f"  wave {wave_id}: {n_events} events", flush=True)
