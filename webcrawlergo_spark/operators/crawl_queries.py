@@ -123,6 +123,8 @@ def bfs_frontier(edges: DataFrame, seed: int = 0, max_depth: int = MAX_DEPTH) ->
     bloom-shard probe + exact confirm (operators/seenset.py); here the
     exact path is used because the oracle demands bit-exactness.
     """
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(seed, 0)], "node long, depth int")
     seen = frontier.select("node")
@@ -135,14 +137,17 @@ def bfs_frontier(edges: DataFrame, seed: int = 0, max_depth: int = MAX_DEPTH) ->
             .join(seen, "node", "left_anti")
             .withColumn("depth", F.lit(depth))
         )
-        # localCheckpoint truncates the growing lineage — without it the
-        # plan doubles per wave and the driver re-executes every prior
-        # anti-join each iteration.
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # ONE job per wave: the eager localCheckpoint truncates the
+        # growing lineage AND carries the row count as an observed
+        # metric (no separate isEmpty() job)
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+        if int(obs.get["n"] or 0) == 0:
             break
         out.append(nxt)
-        seen = seen.unionByName(nxt.select("node")).localCheckpoint(eager=True)
+        # seen is a union of already-checkpointed waves — shallow DAG,
+        # nothing to truncate
+        seen = seen.unionByName(nxt.select("node"))
         frontier = nxt
     return reduce(lambda a, b: a.unionByName(b), out)
 

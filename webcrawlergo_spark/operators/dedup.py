@@ -68,6 +68,28 @@ FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
 """
 
 
+def _minhash_agg(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7) via explode + groupBy-min.
+
+    NOT array_min(transform(shingles, ...)) per seed: Catalyst's
+    project-collapse inlines the (expensive) shingle-construction
+    expression into every one of the 8 transforms, rebuilding the
+    shingle set 8× per row. Exploding once and taking 8 mins in one
+    aggregation computes shingles exactly once and gets map-side
+    partial mins for free — the shuffle moves 8 hex strings per doc.
+    Docs with no shingles (shorter than the shingle width) keep a row
+    with NULL mins via the left join.
+    """
+    exploded = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("g"))
+    aggd = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    return docs.select("doc_id").join(aggd, "doc_id", "left")
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc minhash signature: for seed i, min(md5(i || ':' || shingle)).
 
@@ -75,12 +97,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable row by row.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = _shingles(F.col("text"))
-    cols = [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
-    return docs.select("doc_id", *cols).orderBy("doc_id")
+    return _minhash_agg(docs).orderBy("doc_id")
 
 
 def _shingles_sql(n: int = SHINGLE) -> str:
@@ -111,13 +128,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = _shingles(F.col("text"))
-    sigs = docs.select("doc_id", sh.alias("sh"))
     band_cols = [
         F.md5(
             F.concat(
                 F.lit(f"band{b}:"),
                 *[
-                    F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+                    F.col(f"mh{i}")
                     for i in range(b * (N_MINHASH // N_BANDS), (b + 1) * (N_MINHASH // N_BANDS))
                 ],
             )
@@ -127,8 +143,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     # melt carries ONLY (doc_id, band_id, band_key) — 3 narrow columns.
     # The r1 version kept the full shingle arrays as join payload, so
     # document content shuffled 4× and rode the self-join (its slowest
-    # query). Shingles re-attach ONCE per side after pair dedup.
-    banded = sigs.select("doc_id", *band_cols)
+    # query). Minhashes come from the explode+agg shape (_minhash_agg:
+    # shingles built exactly once); the banded table is materialized so
+    # the self-join's two sides don't recompute it (at cluster scale: a
+    # persisted intermediate); the verify step recomputes shingles ONLY
+    # for candidate docs (semi-join pushdown).
+    banded = _minhash_agg(docs).select("doc_id", *band_cols).localCheckpoint(eager=True)
     melted = banded.select(
         "doc_id",
         F.explode(F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(N_BANDS)])).alias("bk"),
@@ -144,10 +164,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)  # read twice below (cand-doc set + joins)
     )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = docs.join(cand_docs, "doc_id", "left_semi").select("doc_id", sh.alias("sh"))
     cand = (
-        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.filter(F.col("sh_a"), lambda x: F.array_contains(F.col("sh_b"), x)))
     union = F.size("sh_a") + F.size("sh_b") - inter
