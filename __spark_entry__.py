@@ -196,6 +196,17 @@ def q_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cutoff_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F10 (cmdFlags.go:160-166): date cutoff '2024-01-02' widens to
+    # 2024-01-02 23:59:59 — pages from that whole day survive.
+    _, pages = _views(spark, sf_dir)
+    return (
+        pages.filter(F.col("added_at") <= win.widen_cutoff("2024-01-02"))
+        .select("id", "url_id", "added_at")
+        .orderBy("id")
+    )
+
+
 def q_export_sanitized_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S10 + F7: db2disk filename derivation (db.go:228-263) — path
     # split, per-segment unsafe-char sanitize, QueryEscape, timestamp
@@ -241,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "delete_cascade": q_delete_cascade,
         "export_sanitized_paths": q_export_sanitized_paths,
+        "cutoff_widening": q_cutoff_widening,
     }
     q.update(dd.QUERIES)
     q.update(sim.QUERIES)
@@ -364,6 +376,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT k.id, k.url, k.is_monitored, k.is_alive,
                COALESCE(c.n_pages, 0) AS n_pages
         FROM kept k LEFT JOIN c ON k.id = c.url_id ORDER BY k.id
+        """,
+        "cutoff_widening": _VIEWS_CTE
+        + """
+        SELECT id, url_id, added_at FROM pages
+        WHERE added_at <= TIMESTAMP '2024-01-02 00:00:00'
+                          + INTERVAL 24 HOUR - INTERVAL 1 SECOND
+        ORDER BY id
         """,
         "export_sanitized_paths": _VIEWS_CTE
         + r"""

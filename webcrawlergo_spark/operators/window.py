@@ -42,6 +42,17 @@ def latest_pages(pages: DataFrame, urls: DataFrame) -> DataFrame:
     )
 
 
+def widen_cutoff(date_str: str):
+    """F10 (reference cmd/webcrawlerGo/cmdFlags.go:160-166): the CLI's
+    day-granular cutoff date widens to the end of that day
+    (+24h − 1s) so the export includes the whole date."""
+    return (
+        F.to_timestamp(F.lit(date_str), "yyyy-MM-dd")
+        + F.expr("INTERVAL 24 HOURS")
+        - F.expr("INTERVAL 1 SECOND")
+    )
+
+
 def latest_pages_filtered(
     pages: DataFrame,
     urls: DataFrame,
