@@ -302,6 +302,7 @@ def dedup_new_urls(
     bloom_shards: dict[int, tuple[int, bytes]] | None = None,
     n_shards: int = 16,
     cuckoo: CuckooFilter | None = None,
+    maybe_col: str | None = None,
 ) -> DataFrame:
     """THE dedup operator (J2): candidates not in the seen set.
 
@@ -311,9 +312,13 @@ def dedup_new_urls(
     The cuckoo tier is the DELETABLE variant (S9/T4): after a
     registry delete the filter forgets the keys too, so the fast path
     never goes stale (bloom can only be rebuilt)."""
-    if bloom_shards is None and cuckoo is None:
+    if bloom_shards is None and cuckoo is None and maybe_col is None:
         return candidates.join(seen_urls.select(url_col), url_col, "left_anti")
-    if cuckoo is not None:
+    if maybe_col is not None:
+        # the probe already ran (e.g. inside an upstream checkpointed
+        # stage, so the two branches below don't re-execute it)
+        flagged = candidates.withColumnRenamed(maybe_col, "maybe_seen")
+    elif cuckoo is not None:
         flagged = cuckoo_maybe_seen(candidates, cuckoo, url_col, n_shards)
     else:
         flagged = bloom_maybe_seen(candidates, bloom_shards, url_col, n_shards)

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.urlnorm import make_normalize_udf, normalize_expr
 from ..operators.linkextract import extract_links
 from ..operators.seenset import (
+    bloom_maybe_seen,
     bloom_needs_rebuild,
     bloom_or_into,
     build_bloom_shards,
@@ -495,12 +496,23 @@ class CrawlEngine:
             # duplication BEFORE anything materializes. `valid` is a pure
             # function of href, so grouping by (href, valid) == by href.
             obs_grouped = Observation()
-            grouped = (
-                judged.groupBy("href", "valid")
-                .agg(
-                    F.min(F.struct("event_rank", "span_offset", "link_pos", "depth", "host")).alias("k")
+            grouped = judged.groupBy("href", "valid").agg(
+                F.min(F.struct("event_rank", "span_offset", "link_pos", "depth", "host")).alias("k")
+            )
+            if bloom is not None:
+                # probe INSIDE the checkpointed stage: the definite-new /
+                # maybe-seen branches downstream then read the flag from
+                # memory instead of re-running the probe per branch
+                grouped = bloom_maybe_seen(
+                    grouped,
+                    {s: (v[0], bytes(v[1])) for s, v in bloom.items()},
+                    url_col="href",
+                    n_shards=cfg.n_shards,
                 )
-                .observe(obs_grouped, F.sum((~F.col("valid")).cast("long")).alias("n_invalid_cand"))
+            grouped = (
+                grouped.observe(
+                    obs_grouped, F.sum((~F.col("valid")).cast("long")).alias("n_invalid_cand")
+                )
                 .localCheckpoint(eager=True)
             )
             # observed during the checkpoint pass — replaces the r1
@@ -520,6 +532,7 @@ class CrawlEngine:
 
             # first-encounter dedup (J2): min enqueue key within the wave,
             # then anti-join the seen set (exact or bloom+confirm)
+            flag_cols = [F.col("maybe_seen")] if bloom is not None else []
             firsts = grouped.filter(F.col("valid")).select(
                 F.col("href").alias("url"),
                 F.col("k.host").alias("host"),
@@ -527,10 +540,10 @@ class CrawlEngine:
                 F.col("k.event_rank").alias("parent_rank"),
                 F.col("k.span_offset").alias("span_offset"),
                 F.col("k.link_pos").alias("link_pos"),
+                *flag_cols,
             )
             if bloom is not None:
-                shards = {s: (v[0], bytes(v[1])) for s, v in bloom.items()}
-                new_urls = dedup_new_urls(firsts, seen, bloom_shards=shards, n_shards=cfg.n_shards)
+                new_urls = dedup_new_urls(firsts, seen, maybe_col="maybe_seen")
             else:
                 new_urls = dedup_new_urls(firsts, seen)
             obs_new = Observation()
