@@ -356,12 +356,32 @@ class CrawlEngine:
             _tick(None)
             if n_frontier == 0:
                 break
-            # politeness cap (T1): per-host quota, overflow defers
+            # politeness cap (T1): per-host quota, overflow defers.
+            # Two-phase salted top-K: a mega-host (the bench corpus puts
+            # 25% of the frontier on one) would serialize a plain
+            # Window.partitionBy(host) into one straggler task. Phase 1
+            # ranks within (host, salt) — 16-way parallel even for one
+            # host — and keeps each salt-group's top-K (a superset of
+            # the true top-K); phase 2 ranks the ≤16K survivors per host
+            # exactly. Identical selection, bounded partitions.
             if cfg.politeness_max_per_host_per_wave is not None:
-                w = Window.partitionBy("host").orderBy("parent_rank", "span_offset", "link_pos")
-                ranked = frontier.withColumn("_hseq", F.row_number().over(w))
-                batch = ranked.filter(F.col("_hseq") <= cfg.politeness_max_per_host_per_wave).drop("_hseq")
-                deferred = ranked.filter(F.col("_hseq") > cfg.politeness_max_per_host_per_wave).drop("_hseq")
+                cap = cfg.politeness_max_per_host_per_wave
+                order = [F.col("parent_rank"), F.col("span_offset"), F.col("link_pos")]
+                n_salt = 16
+                w_salt = Window.partitionBy("host", "_salt").orderBy(*order)
+                pre = frontier.withColumn(
+                    "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("int")
+                ).withColumn("_lseq", F.row_number().over(w_salt))
+                cands = pre.filter(F.col("_lseq") <= cap)
+                w_host = Window.partitionBy("host").orderBy(*order)
+                ranked = cands.withColumn("_hseq", F.row_number().over(w_host))
+                aux = ["_salt", "_lseq", "_hseq"]
+                batch = ranked.filter(F.col("_hseq") <= cap).drop(*aux)
+                deferred = (
+                    pre.filter(F.col("_lseq") > cap)
+                    .drop("_salt", "_lseq")
+                    .unionByName(ranked.filter(F.col("_hseq") > cap).drop(*aux))
+                )
                 n_events = batch.count()
                 n_deferred = n_frontier - n_events
             else:
