@@ -151,7 +151,8 @@ def crawl_bench(
         retry_times=0,
         same_host_only=False,
         seen_mode=seen_mode,
-        analyze_pages=True,  # crawl-time analytics: the full pipeline
+        analyze_pages=True,    # crawl-time analytics: the full pipeline
+        content_minhash=True,  # + in-flight near-dup signatures (8 seeds)
     )
     eng = CrawlEngine(spark, index, docs, [], cfg)
     t0 = time.time()
@@ -210,8 +211,8 @@ def main() -> None:
         # itself stops scaling past ~8 threads — reported side by side
         # with the pure-compute host probe in BENCH.md)
         result["scaling"] = {
-            "2v8": run_scaling(n_pages=250_000, n_lo=2, n_hi=8),
-            "8v32": run_scaling(n_pages=500_000, n_lo=8, n_hi=32),
+            "2v8": run_scaling(n_pages=1_000_000, n_lo=2, n_hi=8),
+            "8v32": run_scaling(n_pages=1_000_000, n_lo=8, n_hi=32),
         }
     else:
         spark.stop()
@@ -222,15 +223,23 @@ def main() -> None:
 def run_scaling(n_pages: int, n_lo: int = 8, n_hi: int = 32, reps: int = 3) -> dict:
     """N-vs-4N scaling evidence (sandbox stand-in for two cluster sizes).
 
-    The host VM shows ±40% run-to-run noise, so each leg runs ``reps``
-    times *interleaved* (lo, hi, lo, hi, …) and the MEDIAN seconds per
-    leg is reported. Each leg gets one small JIT-warmup crawl in its
-    fresh JVM before measuring.
+    Protocol: identical input, legs interleaved (lo, hi, lo, hi, …),
+    fresh JVM + JIT-warmup crawl per leg, ``reps`` runs per leg. The
+    host shows ±40% run-to-run noise, so BOTH the median and the
+    min-based efficiency are reported — min is the better estimator of
+    the machine's actual capability under one-sided noise (a shared
+    host can only ever slow a leg down, never speed it up).
+
+    The corpus is sized so the per-wave fixed cost (plan + schedule +
+    checkpoint latency, ~3-4 s/wave, core-count independent) is a
+    small fraction of the run — at small corpora Amdahl's serial term
+    dominates and no engine would show scaling.
     """
     import statistics
 
     times: dict[int, list[float]] = {n_lo: [], n_hi: []}
-    warmup = min(150_000, max(50_000, n_pages // 3))
+    warmup = min(150_000, max(50_000, n_pages // 5))
+    events = 0
     for rep in range(reps):
         for n in (n_lo, n_hi):
             spark = make_spark(n)
@@ -239,17 +248,25 @@ def run_scaling(n_pages: int, n_lo: int = 8, n_hi: int = 32, reps: int = 3) -> d
             times[n].append(r["seconds"])
             events = r["events"]
             spark.stop()
-    t_lo = statistics.median(times[n_lo])
-    t_hi = statistics.median(times[n_hi])
-    rate_lo, rate_hi = events / t_lo, events / t_hi
+
+    def eff(t_lo: float, t_hi: float) -> tuple[float, float, float]:
+        rate_lo, rate_hi = events / t_lo, events / t_hi
+        return rate_lo, rate_hi, (rate_hi / n_hi) / (rate_lo / n_lo)
+
+    rl_med, rh_med, eff_med = eff(statistics.median(times[n_lo]), statistics.median(times[n_hi]))
+    rl_min, rh_min, eff_min = eff(min(times[n_lo]), min(times[n_hi]))
     return {
         "n_pages": n_pages,
+        "events": events,
         "cores": [n_lo, n_hi],
         "seconds_all": times,
-        f"urls_per_sec@{n_lo}": round(rate_lo, 1),
-        f"urls_per_sec@{n_hi}": round(rate_hi, 1),
-        "speedup": round(rate_hi / rate_lo, 3),
-        "efficiency": round((rate_hi / n_hi) / (rate_lo / n_lo), 3),
+        f"urls_per_sec@{n_lo}": round(rl_med, 1),
+        f"urls_per_sec@{n_hi}": round(rh_med, 1),
+        "speedup": round(rh_med / rl_med, 3),
+        "efficiency": round(eff_med, 3),
+        "efficiency_min_based": round(eff_min, 3),
+        f"best_urls_per_sec@{n_lo}": round(rl_min, 1),
+        f"best_urls_per_sec@{n_hi}": round(rh_min, 1),
     }
 
 

@@ -90,3 +90,33 @@ def test_resume_feedback_recrawls_expired(spark, web, web_dfs, default_run):
     fetched = set(res.crawl_order())
     # every reachable monitored+alive URL from run 1 is re-fetched
     assert monitored_alive <= fetched
+
+
+def test_content_minhash_in_flight(spark, web, web_dfs):
+    """analyze_pages + content_minhash: page_stats carries an 8-seed
+    unigram minhash per fetched page, equal to computing the same
+    signature directly over the fetched docs."""
+    cfg = CrawlConfig(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        analyze_pages=True,
+        content_minhash=True,
+    )
+    res = CrawlEngine(spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"], cfg).run()
+    stats = res.page_stats
+    assert all(f"mh{i}" in stats.columns for i in range(8))
+    row = stats.orderBy("event_rank").limit(1).collect()[0]
+    # recompute the signature for that page directly
+    text = F.concat_ws(
+        " ",
+        F.transform(F.filter("spans", lambda s: s["kind"] == "text"), lambda s: s["text"]),
+    )
+    doc = (
+        web_dfs["index"].filter(F.col("url") == row["url"])
+        .join(web_dfs["docs"], "doc_id")
+        .select(F.explode(F.array_distinct(F.split(text, " "))).alias("g"))
+        .agg(*[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"mh{i}") for i in range(8)])
+        .collect()[0]
+    )
+    assert all(row[f"mh{i}"] == doc[f"mh{i}"] for i in range(8))

@@ -95,6 +95,14 @@ class CrawlConfig:
     # rendered content is shorter than this are not saved. Content
     # length = total chars across span text/media_ref fields.
     min_content_chars: int = 0
+    # crawl-time near-dup signatures: adds an N-seed content minhash
+    # (distinct unigram tokens, explode + groupBy-min — map-side
+    # combine) per fetched page to page_stats. The in-flight half of
+    # the training-data dedup pipeline (operators/dedup.py is the
+    # batch half; production ingest pipelines typically carry 32-128
+    # permutations). Requires analyze_pages.
+    content_minhash: bool = False
+    content_minhash_seeds: int = 8
     # X3: the UA string grobotstxt group-selection matches against
     # (reference crawler.go:60,442).
     user_agent: str = "webcrawlerGo"
@@ -485,18 +493,45 @@ class CrawlEngine:
                     ),
                 )
                 toks = F.split(text, " ")
-                stats = (
-                    ok.join(self.docs, "doc_id")
-                    .select(
-                        "url",
-                        "event_rank",
-                        F.length(text).alias("n_chars"),
-                        F.size(toks).alias("n_tokens"),
-                        F.size(F.filter(toks, lambda t: t.startswith("w1"))).alias("marker_hits"),
-                        F.md5(text).alias("fingerprint"),
-                        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
-                    )
+                fetched_docs = ok.join(self.docs, "doc_id")
+                stats = fetched_docs.select(
+                    "url",
+                    "event_rank",
+                    F.length(text).alias("n_chars"),
+                    F.size(toks).alias("n_tokens"),
+                    F.size(F.filter(toks, lambda t: t.startswith("w1"))).alias("marker_hits"),
+                    F.md5(text).alias("fingerprint"),
+                    F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
                 )
+                if cfg.content_minhash:
+                    # in-flight near-dup signatures: 8-seed minhash over
+                    # the distinct UNIGRAM token set (the batch pipeline
+                    # in operators/dedup.py uses 3-gram shingles for
+                    # precision; the in-flight tier trades n-gram
+                    # context for a single-split plan). Shape matters:
+                    # a SEPARATE narrow branch joined back on the page
+                    # key, tokens exploded once, mins aggregated with
+                    # map-side combine. Higher-order-function shingling
+                    # here re-evaluated split(text) per element_at — the
+                    # HOF path is interpreted with NO common-subexpr
+                    # elimination (measured 10× wall blowup).
+                    mh = (
+                        fetched_docs.select(
+                            "url",
+                            "event_rank",
+                            F.explode_outer(F.array_distinct(F.split(text, " "))).alias("_g"),
+                        )
+                        .groupBy("url", "event_rank")
+                        .agg(
+                            *[
+                                F.min(
+                                    F.md5(F.concat(F.lit(f"{i}:"), F.col("_g")))
+                                ).alias(f"mh{i}")
+                                for i in range(cfg.content_minhash_seeds)
+                            ]
+                        )
+                    )
+                    stats = stats.join(mh, ["url", "event_rank"])
                 page_stats_deltas.append(stats)
             norm = raw_links.withColumn("_n", self._normalize(F.col("raw_href"))).select(
                 "parent_url", "event_rank", "depth", "span_offset", "link_pos",
