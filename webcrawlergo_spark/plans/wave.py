@@ -343,9 +343,20 @@ class CrawlEngine:
         bloom: dict[int, list] | None = None
         if cfg.seen_mode == "bloom":
             loaded = store.load(spark, "bloom") if (resume and store and store.latest()) else None
-            src = loaded if loaded is not None else build_bloom_shards(
-                seen, n_shards=cfg.n_shards, growth=4
-            )
+            # capacity floor: a crawl grows the seen set by orders of
+            # magnitude past the seed list — sizing off the seeds alone
+            # forces O(seen) rebuilds every couple of waves. 64k keys ×
+            # 10 bits ≈ 80 KB/shard: headroom is ~free.
+            if loaded is not None:
+                src = loaded
+            else:
+                src = build_bloom_shards(
+                    seen,
+                    n_shards=cfg.n_shards,
+                    expected_per_shard=max(
+                        64_000, seen.count() * 4 // max(cfg.n_shards, 1)
+                    ),
+                )
             bloom = {
                 int(r["shard"]): [int(r["m_bits"]), bytearray(r["bits"]), int(r["n"])]
                 for r in src.collect()
