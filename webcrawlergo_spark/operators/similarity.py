@@ -208,11 +208,144 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH
+# --------------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBE = 2
+# deterministic coarse centroids: the embeddings of vec_ids 10..80
+# step 10 (disjoint from the query ids < N_QUERIES). A k-means pass
+# would refine them; centroid CHOICE is orthogonal to the IVF plan
+# shape being exercised (assign → invert → probe-limited search).
+CENTROID_IDS = [10 * (i + 1) for i in range(N_CELLS)]
+
+
+def _cells(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment): every vector → argmax-cosine centroid.
+
+    Assignment is a broadcast of N_CELLS rows against a narrow map
+    over the corpus + a per-vector argmax — at 10^10 vectors this is
+    one scan, no shuffle of the embedding column (the argmax window
+    keys on vec_id, satisfied by the scan partitioning after the
+    crossJoin preserves it; at scale you fold the argmax into a
+    max_by aggregate per vec_id)."""
+    cents = vecs.filter(F.col("vec_id").isin(CENTROID_IDS)).select(
+        (F.col("vec_id") / 10).cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    aff = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(cos, 6).alias("aff")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    assign = aff.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return cents, assign.select("vec_id", "cell")
+
+
+def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: every vector's coarse cell."""
+    _, assign = _cells(_vecs(spark, sf_dir))
+    return assign.orderBy("vec_id")
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: each query probes its N_PROBE nearest cells, exact
+    cosine re-rank inside the probed inverted lists only."""
+    vecs = _vecs(spark, sf_dir)
+    cents, assign = _cells(vecs)
+    qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qcos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    qaff = qv.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell", F.round(qcos, 6).alias("aff")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    probes = (
+        qaff.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(vecs, "vec_id")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_CELLS_SQL = f"""
+cents AS (
+  SELECT CAST(vec_id / 10 AS INTEGER) AS cell, v AS cv FROM vecs
+  WHERE vec_id IN ({", ".join(str(i) for i in CENTROID_IDS)})),
+aff AS (
+  SELECT vec_id, cell,
+         round(list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS aff
+  FROM vecs CROSS JOIN cents),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn FROM aff) t
+  WHERE rn = 1)
+"""
+
+IVF_CELLS_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_CELLS_SQL}
+SELECT vec_id, cell FROM assign ORDER BY vec_id
+"""
+
+IVF_TOPK_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_CELLS_SQL},
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}),
+qaff AS (
+  SELECT query_id, qv, cell,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS aff
+  FROM q CROSS JOIN cents),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY aff DESC, cell ASC) AS rn FROM qaff) t
+  WHERE rn <= {N_PROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, vecs.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(vecs.v, vecs.v))), 6) AS score
+  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN vecs ON vecs.vec_id = a.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "ivf_cells": ivf_cells,
+    "ivf_topk": ivf_topk,
 }
 
 ORACLES = {
@@ -220,4 +353,6 @@ ORACLES = {
     "ann_lsh_buckets": ANN_BUCKETS_SQL,
     "ann_lsh_topk": ANN_TOPK_SQL,
     "embedding_neardup_pairs": EMB_NEARDUP_SQL,
+    "ivf_cells": IVF_CELLS_SQL,
+    "ivf_topk": IVF_TOPK_SQL,
 }
