@@ -263,6 +263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_tumbling_agg"] = lambda spark, sf_dir: tumbling_event_counts(
         load_table(spark, sf_dir, "events")
     )
+    # genuine Structured Streaming stateful operator
+    # (applyInPandasWithState); a single-file source drains in one
+    # micro-batch, so the update-mode emissions ARE the final sessions
+    # and the batch sessionizer's SQL oracle applies verbatim
+    from webcrawlergo_spark.streaming.stateful import sessionize_stream
+
+    q["sessionize_stateful_stream"] = sessionize_stream
     q["multimodal_meta"] = multimodal_meta
     return q
 
@@ -408,5 +415,6 @@ def oracle_sql() -> dict[str, str]:
 
     o.update(CRAWL_ORACLES)
     o["events_tumbling_agg"] = TUMBLING_SQL
+    o["sessionize_stateful_stream"] = olap.SESSIONIZE_SQL
     o["multimodal_meta"] = MULTIMODAL_META_SQL
     return o

@@ -120,13 +120,19 @@ def _sessionize_user(
     yield pd.DataFrame(rows)
 
 
+_QUERY_SEQ = [0]  # memory-sink names must be unique per session
+
+
 def sessionize_stream(
-    spark: SparkSession, sf_dir: str, query_name: str = "sessions_out"
+    spark: SparkSession, sf_dir: str, query_name: str | None = None
 ) -> DataFrame:
     """events parquet → file stream → per-user stateful sessionization
     → update-mode memory sink. Returns the sink table after draining;
     the LAST emission per (user_id, session_idx) is the final session
     row (update semantics)."""
+    if query_name is None:
+        _QUERY_SEQ[0] += 1
+        query_name = f"sessions_out_{_QUERY_SEQ[0]}"
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stage = os.path.join(
         "/tmp", "webcrawlergo_stream_src", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
