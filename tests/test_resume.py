@@ -64,3 +64,29 @@ def test_lineage_accounting(default_run):
     assert lin["sum(fetched)"] == len(res.crawl_order())
     # with no resume rows, everything ever enqueued = seen minus the seed
     assert lin["sum(enqueued)"] == res.seen.count() - 1
+
+
+def test_rollback_then_resume_matches(spark, web, web_dfs, default_run):
+    """Iceberg-style rollback: flip the manifest back one wave, resume,
+    and reach the same final state as the uninterrupted run (the
+    re-executed waves are deterministic)."""
+    base_cfg = dict(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+    )
+    want = _collect_state(default_run)
+    with tempfile.TemporaryDirectory() as ckpt:
+        CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt, max_waves=3),
+        ).run()
+        store = CheckpointStore(ckpt)
+        assert store.latest()["wave_id"] == 2
+        store.rollback(1)  # forget wave 2
+        assert store.latest()["wave_id"] == 1
+        res = CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt),
+        ).run(resume=True)
+        assert _collect_state(res) == want

@@ -30,8 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class CheckpointStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, keep_last: int = 2):
         self.root = root
+        self.keep_last = keep_last  # snapshot history depth (rollback window)
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -44,6 +45,32 @@ class CheckpointStore:
             return None
         with open(self._manifest_path) as f:
             return json.load(f)
+
+    def manifest_for(self, wave_id: int) -> dict | None:
+        """A historical manifest (Iceberg snapshot-history analog).
+        Only the last ``keep_last`` waves' snapshot files survive GC,
+        so older manifests may reference pruned data."""
+        p = os.path.join(self.root, f"_manifest-{wave_id}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def rollback(self, wave_id: int) -> dict:
+        """Point the current manifest at a historical snapshot — the
+        Iceberg rollback-to-snapshot operation as a pointer flip. The
+        next resume then continues from ``wave_id``."""
+        m = self.manifest_for(wave_id)
+        if m is None:
+            raise ValueError(f"no manifest for wave {wave_id} (history keeps {self.keep_last})")
+        for name, path in m["tables"].items():
+            if not os.path.exists(path):
+                raise ValueError(f"snapshot data for wave {wave_id} table {name} was GC'd")
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)
+        return m
 
     def commit(
         self,
@@ -81,6 +108,9 @@ class CheckpointStore:
         with open(tmp, "w") as f:
             json.dump(entry, f)
         os.replace(tmp, self._manifest_path)  # atomic pointer flip
+        # snapshot history for rollback (Iceberg snapshot log analog)
+        with open(os.path.join(self.root, f"_manifest-{wave_id}.json"), "w") as f:
+            json.dump(entry, f)
         self._gc(keep_wave=wave_id, protect=entry["append_tables"])
         return entry
 
@@ -95,9 +125,10 @@ class CheckpointStore:
             return spark.read.parquet(*paths)
         return None
 
-    def _gc(self, keep_wave: int, keep_last: int = 2, protect: dict | None = None) -> None:
+    def _gc(self, keep_wave: int, keep_last: int | None = None, protect: dict | None = None) -> None:
         """Drop snapshot dirs older than the last ``keep_last`` waves,
         never touching paths referenced by append tables."""
+        keep_last = keep_last if keep_last is not None else self.keep_last
         protected = {p for paths in (protect or {}).values() for p in paths}
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)

@@ -14,6 +14,9 @@ asserts the exchange-free plan property rather than trusting it.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -28,6 +31,11 @@ def write_bucketed(
     Idempotent: replaces the table if it exists."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous SESSION's managed location survives the in-memory
+    # catalog; Spark refuses to reuse it — clear the orphan dir
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    shutil.rmtree(loc, ignore_errors=True)
     w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
