@@ -64,3 +64,38 @@ def test_fetch_flag_semantics(web, default_run):
     assert saved_urls <= seen_urls
     # every saved URL matched a marked path (this run has no resume rows)
     assert all(any(m in u for m in web.marked_paths) for u in saved_urls)
+
+
+def test_view_prefix_and_out_of_range(spark):
+    """queue_test.go:173-201 table: View(n) returns the FIFO prefix;
+    n > size raises (ErrOutOfRange)."""
+    from webcrawlergo_spark.operators.relational import frontier_view
+
+    q = spark.createDataFrame(
+        [("u3", 2), ("u1", 0), ("u2", 1)], "url string, pos int"
+    )
+    rows = frontier_view(q, ["pos"], 2)
+    assert [r["url"] for r in rows] == ["u1", "u2"]
+    assert [r["url"] for r in frontier_view(q, ["pos"], 3)] == ["u1", "u2", "u3"]
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        frontier_view(q, ["pos"], 4)
+    with _pytest.raises(IndexError):
+        frontier_view(q.limit(0), ["pos"], 1)  # ErrEmptyQueue analog
+
+
+def test_get_map_value_and_not_found(spark):
+    """queue_test.go:128-171 table: map value round-trip + missing key
+    raises (ErrItemNotFound)."""
+    from webcrawlergo_spark.operators.relational import get_map_value
+
+    flags = spark.createDataFrame(
+        [("u1", True), ("u2", False)], "url string, flag boolean"
+    )
+    assert get_map_value(flags, "u1") is True
+    assert get_map_value(flags, "u2") is False
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        get_map_value(flags, "never-inserted")

@@ -104,6 +104,26 @@ def top_k(df: DataFrame, order_col: str, k: int, tie_break: str) -> DataFrame:
     return df.orderBy(F.col(order_col).desc(), F.col(tie_break).asc()).limit(k)
 
 
+def frontier_view(df: DataFrame, order_cols: list[str], n: int) -> list:
+    """O5 — Queue.View(n) (reference queue/queue.go:176-198): the
+    first n items in FIFO order; asking for more than the queue holds
+    raises, mirroring ErrOutOfRange. The limit+collect ships n rows,
+    never the queue."""
+    rows = df.orderBy(*[F.col(c) for c in order_cols]).limit(n + 1).collect()
+    if n > len(rows):
+        raise IndexError(f"view({n}) out of range: queue holds {len(rows)}")
+    return rows[:n]
+
+
+def get_map_value(flags: DataFrame, url: str, url_col: str = "url") -> bool:
+    """Queue.GetMapValue (reference queue/queue.go:63-74): the fetch
+    flag for a key; a never-inserted key raises (ErrItemNotFound)."""
+    rows = flags.filter(F.col(url_col) == F.lit(url)).limit(1).collect()
+    if not rows:
+        raise KeyError(url)
+    return bool(rows[0]["flag"])
+
+
 def paginate_window(df: DataFrame, part_col: str, order_col: str, page: int, size: int) -> DataFrame:
     """O2 window-variant pagination (reference models/page.go:44 pages
     LIMIT/OFFSET inside the windowed CTE).
