@@ -109,3 +109,21 @@ def test_hard_fail_disallows_everything(spark):
     rules = [tuple(r) for r in rules_df.collect()]
     cand = spark.createDataFrame([("h.test", "/x")], "host string, path string")
     assert cand.withColumn("ok", robots_ok_expr(rules)).collect()[0]["ok"] is False
+
+
+def test_engine_relational_robots_parity(spark, web, web_dfs, default_run):
+    """The multi-host relational robots path (robots_mode='join')
+    produces the identical crawl to the codegen CASE-chain path."""
+    from webcrawlergo_spark.plans.wave import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        robots_mode="join",
+    )
+    res = CrawlEngine(spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"], cfg).run()
+    assert res.event_order() == default_run.event_order()
+    assert sorted(r["url"] for r in res.invalid.collect()) == sorted(
+        r["url"] for r in default_run.invalid.collect()
+    )

@@ -36,7 +36,12 @@ def with_global_rank(
     cheaper than three extra jobs below ~10^5 rows.
     """
     if n_rows is not None and n_rows <= SMALL_BATCH:
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        # partitionBy(lit(0)) == one partition, DELIBERATELY: below
+        # SMALL_BATCH rows a single-task window beats the 3-job
+        # range-partition recipe. The explicit constant partition key
+        # states the intent (and silences Spark's "no partition
+        # defined" accident-detector, which this is not).
+        w = Window.partitionBy(F.lit(0)).orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(rank_col, (F.row_number().over(w) - 1 + start).cast("long"))
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     parted = df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])

@@ -56,7 +56,13 @@ from ..operators.seenset import (
     dedup_new_urls,
     with_hashes,
 )
-from ..operators.validate import marked_flag, parse_robots_rules, robots_ok_expr, validity_flag
+from ..operators.validate import (
+    marked_flag,
+    parse_robots_rules,
+    robots_allowed,
+    robots_ok_expr,
+    validity_flag,
+)
 from .checkpoint import CheckpointStore
 from .rank import with_global_rank
 
@@ -106,6 +112,14 @@ class CrawlConfig:
     # X3: the UA string grobotstxt group-selection matches against
     # (reference crawler.go:60,442).
     user_agent: str = "webcrawlerGo"
+    # robots evaluation strategy: "expr" compiles the rules into a
+    # whole-stage-codegen CASE chain (zero shuffle — right for one or
+    # a few hosts); "join" evaluates relationally against a broadcast
+    # rules table (right for a multi-host frontier with many rule
+    # sets, where a driver-compiled expression would blow up codegen);
+    # "auto" switches on rule-set size.
+    robots_mode: str = "auto"
+    robots_expr_max_rules: int = 64
 
     def __post_init__(self):
         # reference internal/utils.go ContainsAny skips empty patterns;
@@ -157,8 +171,16 @@ class CrawlEngine:
         self.docs = docs
         self.cfg = config
         self.base_host = config.base_url.split("://", 1)[1].split("/", 1)[0].split(":")[0]
-        rules = parse_robots_rules(spark, robots_rows, user_agent=config.user_agent).collect()
-        self._robots_ok = robots_ok_expr([tuple(r) for r in rules])
+        self._rules_df = parse_robots_rules(spark, robots_rows, user_agent=config.user_agent)
+        rules = self._rules_df.collect()
+        use_expr = config.robots_mode == "expr" or (
+            config.robots_mode == "auto" and len(rules) <= config.robots_expr_max_rules
+        )
+        if use_expr:
+            self._robots_ok = robots_ok_expr([tuple(r) for r in rules])
+        else:
+            self._robots_ok = None  # relational path (robots_allowed join)
+            self._rules_df = self._rules_df.localCheckpoint(eager=True)
         if config.canonicalizer == "pandas":
             udf = make_normalize_udf(config.base_url)
             self._normalize = lambda col: udf(col)
@@ -555,7 +577,16 @@ class CrawlEngine:
                 norm,
                 self.base_host if cfg.same_host_only else None,
                 cfg.ignore_patterns,
-            ).withColumn("valid", F.col("pre_ok") & self._robots_ok)
+            )
+            if self._robots_ok is not None:
+                judged = judged.withColumn("valid", F.col("pre_ok") & self._robots_ok)
+            else:
+                # multi-host frontier: rules as a broadcast table (X3
+                # relational path — a driver-compiled CASE chain over
+                # millions of hosts would blow up codegen)
+                judged = robots_allowed(judged, self._rules_df).withColumn(
+                    "valid", F.col("pre_ok") & F.col("robots_ok")
+                )
 
             # single pass over the (huge) link set: normalize+validate run
             # exactly once, map-side partial agg collapses ~links-per-page×

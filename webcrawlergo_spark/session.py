@@ -77,6 +77,19 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's "no partition defined" warning is an accident
+    # detector; the engine's only unpartitioned windows are the
+    # DELIBERATE small-batch paths (plans/rank.py: below 100k rows one
+    # task beats the 3-job distributed recipe). Silence that one
+    # logger — every at-scale window in the engine is partitioned.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j internals moved — cosmetic only
     return spark
 
 
