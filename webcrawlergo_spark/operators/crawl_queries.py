@@ -126,6 +126,12 @@ def bfs_frontier(edges: DataFrame, seed: int = 0, max_depth: int = MAX_DEPTH) ->
     from pyspark.sql import Observation
 
     spark = edges.sparkSession
+    # materialize the edge set ONCE: without this every wave's join
+    # re-executes the upstream union+distinct (and its shuffle) —
+    # 7x redundant work that showed up as the r2 driver-bench
+    # regression (7.0s -> 11.2s). One eager checkpoint also gives the
+    # per-wave anti-join a stats-known relation AQE can re-plan from.
+    edges = edges.localCheckpoint(eager=True)
     frontier = spark.createDataFrame([(seed, 0)], "node long, depth int")
     seen = frontier.select("node")
     out = [frontier]

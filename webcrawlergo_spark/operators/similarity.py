@@ -225,11 +225,14 @@ def _cells(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignment): every vector → argmax-cosine centroid.
 
     Assignment is a broadcast of N_CELLS rows against a narrow map
-    over the corpus + a per-vector argmax — at 10^10 vectors this is
-    one scan, no shuffle of the embedding column (the argmax window
-    keys on vec_id, satisfied by the scan partitioning after the
-    crossJoin preserves it; at scale you fold the argmax into a
-    max_by aggregate per vec_id)."""
+    over the corpus + a per-vector argmax expressed as a ``max_by``
+    aggregate: the corpus×cells rows partial-aggregate map-side (one
+    surviving row per vec_id per input partition) before the single
+    shuffle on vec_id — at 10^10 vectors that is one scan plus a
+    key-only shuffle, where the r2 ``Window.partitionBy(vec_id)``
+    shape pushed all corpus×N_CELLS rows through the exchange.
+    Tie-break matches the window it replaces (max aff, then LOWEST
+    cell) via a struct key ordered (aff, -cell)."""
     cents = vecs.filter(F.col("vec_id").isin(CENTROID_IDS)).select(
         (F.col("vec_id") / 10).cast("int").alias("cell"), F.col("v").alias("cv")
     )
@@ -239,8 +242,11 @@ def _cells(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     aff = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cell", F.round(cos, 6).alias("aff")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
-    assign = aff.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    assign = aff.groupBy("vec_id").agg(
+        F.max_by(
+            "cell", F.struct(F.col("aff"), (-F.col("cell")).alias("neg_cell"))
+        ).alias("cell")
+    )
     return cents, assign.select("vec_id", "cell")
 
 
