@@ -85,6 +85,7 @@ def crawl_bench(
     seen_mode: str = "exact",
     links_per_page: int = 16,
     seed_frac: int = 20,  # 1/seed_frac of pages are seeds (the seed list)
+    **cfg_extra,
 ) -> dict:
     """The frontier throughput workload (BASELINE.json metric).
 
@@ -153,6 +154,7 @@ def crawl_bench(
         seen_mode=seen_mode,
         analyze_pages=True,    # crawl-time analytics: the full pipeline
         content_minhash=True,  # + in-flight near-dup signatures (8 seeds)
+        **cfg_extra,
     )
     eng = CrawlEngine(spark, index, docs, [], cfg)
     t0 = time.time()
@@ -189,7 +191,11 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
     spark.range(1_000_000).selectExpr("md5(cast(id as string)) h").agg({"h": "max"}).collect()
     queries = run_queries(spark, SF_DIR)
-    crawl_bench(spark, max(10_000, n_pages // 4))  # crawl warmup
+    # crawl warmups: one exact leg, one bloom leg with the probe gate
+    # forced open — the sharded-probe / lazy-OR-in plans JIT-compile
+    # here so the measured legs compare plans, not codegen
+    crawl_bench(spark, max(10_000, n_pages // 4))
+    crawl_bench(spark, max(10_000, n_pages // 4), seen_mode="bloom", bloom_probe_min_seen=0)
     crawl = crawl_bench(spark, n_pages)
     # the bloom path (incremental per-wave OR-in, exact-confirm) must
     # hold parity-or-better with exact mode — measured, not assumed
@@ -209,10 +215,13 @@ def main() -> None:
         spark.stop()
         # both N-vs-4N pairs (BASELINE protocol allows either; the host
         # itself stops scaling past ~8 threads — reported side by side
-        # with the pure-compute host probe in BENCH.md)
+        # with the pure-compute host probe in BENCH.md), plus the
+        # weak-scaling protocol (fixed work PER core — the honest
+        # scaling story a bandwidth-shared single host permits)
         result["scaling"] = {
             "2v8": run_scaling(n_pages=1_000_000, n_lo=2, n_hi=8),
             "8v32": run_scaling(n_pages=1_000_000, n_lo=8, n_hi=32),
+            "weak": run_weak_scaling(),
         }
     else:
         spark.stop()
@@ -268,6 +277,46 @@ def run_scaling(n_pages: int, n_lo: int = 8, n_hi: int = 32, reps: int = 3) -> d
         f"best_urls_per_sec@{n_lo}": round(rl_min, 1),
         f"best_urls_per_sec@{n_hi}": round(rh_min, 1),
     }
+
+
+def run_weak_scaling(per_core_pages: int = 31_250, cores=(2, 8, 32), reps: int = 3) -> dict:
+    """Weak-scaling protocol: the corpus grows WITH the core count
+    (fixed pages per core), so the ideal is CONSTANT wall time and
+    efficiency(n) = t(cores[0]) / t(n). On this bandwidth-shared
+    single host it is the honest scaling protocol: strong scaling
+    pins total work and is bounded by the memory subsystem past ~8
+    threads (see the pure-compute host probe in BENCH.md), while
+    weak scaling asks the question a cluster operator actually asks
+    — 'can 4x the machines crawl 4x the web in the same time?'.
+    Same hygiene as run_scaling: interleaved legs, fresh JVM +
+    warmup crawl per leg, median AND min (one-sided shared-host
+    noise can only slow a leg down)."""
+    import statistics
+
+    times: dict[int, list[float]] = {n: [] for n in cores}
+    events: dict[int, int] = {}
+    for rep in range(reps):
+        for n in cores:
+            spark = make_spark(n)
+            crawl_bench(spark, max(20_000, per_core_pages * n // 5))  # JIT warmup
+            r = crawl_bench(spark, per_core_pages * n)
+            times[n].append(r["seconds"])
+            events[n] = r["events"]
+            spark.stop()
+    base = cores[0]
+    out: dict = {
+        "per_core_pages": per_core_pages,
+        "cores": list(cores),
+        "events": events,
+        "seconds_all": times,
+    }
+    for n in cores:
+        med = statistics.median(times[n])
+        out[f"sec@{n}"] = round(med, 2)
+        out[f"urls_per_sec@{n}"] = round(events[n] / med, 1)
+        out[f"weak_eff@{n}"] = round(statistics.median(times[base]) / med, 3)
+        out[f"weak_eff_min@{n}"] = round(min(times[base]) / min(times[n]), 3)
+    return out
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ def test_bloom_incremental_multiwave_equals_exact(spark, web, web_dfs, default_r
         ignore_patterns=web.ignore_patterns,
         seen_mode="bloom",
         n_shards=4,
+        bloom_probe_min_seen=0,  # force the probe on the tiny corpus
     )
     res = CrawlEngine(spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"], cfg).run()
     assert res.event_order() == default_run.event_order()

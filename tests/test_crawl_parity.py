@@ -48,7 +48,12 @@ def test_default_crawl_parity(default_run, default_golden):
 
 
 def test_bloom_mode_is_bit_identical(spark, web, web_dfs, default_golden):
-    res = run_engine(spark, web, web_dfs, seen_mode="bloom", n_shards=4).run()
+    # min_seen=0 forces the sharded probe even on this tiny corpus —
+    # otherwise the gate would fall back to the exact join and the
+    # test would pass without exercising the bloom path
+    res = run_engine(
+        spark, web, web_dfs, seen_mode="bloom", n_shards=4, bloom_probe_min_seen=0
+    ).run()
     assert_full_parity(res, default_golden)
 
 
@@ -122,3 +127,22 @@ def test_span_sequence_invariant(spark, web, web_dfs):
         for p in web.pages.values()
     }
     assert eng == ref
+
+
+def test_virtual_time_exact_single_worker(spark, web, web_dfs):
+    """T1 fidelity (stretch): with virtual_time_exact on, every event
+    carries (fetch_seq, virtual_ms). For the single-host fixture the
+    reconstructed schedule must collapse to the reference's
+    single-worker clock: request i fires at exactly
+    event_rank × request_delay_ms (one RequestDelay sleep between
+    consecutive requests, crawler.go:326) — i.e. the wave-local
+    per-host sequences plus the accumulated wave bases compose back
+    to the global request sequence with no gaps or overlaps."""
+    res = run_engine(spark, web, web_dfs, virtual_time_exact=True).run()
+    delay = 50  # CrawlConfig.request_delay_ms default
+    rows = res.events.orderBy("event_rank").collect()
+    assert rows, "fixture crawl produced no events"
+    for r in rows:
+        assert r["fetch_seq"] is not None
+        assert r["virtual_ms"] == r["event_rank"] * delay, (
+            r["event_rank"], r["virtual_ms"])

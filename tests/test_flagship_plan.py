@@ -1,0 +1,48 @@
+"""Flagship (W1 latest-pages) physical-plan assertions.
+
+BENCH.md's plan claims, enforced by CI instead of narrated:
+- the rn=1 window filter is pushed into the shuffle as a
+  WindowGroupLimit (per-partition top-1 before the exchange — the
+  property that keeps the window linear at 10^10 pages);
+- no side of the join carries a forced broadcast hint (the urls
+  registry is NOT broadcastable at the design point; strategy choice
+  belongs to AQE, which picks broadcast at small scale from runtime
+  stats — a hint would hard-code a driver OOM);
+- the pages scan is pruned to the columns the query needs, not the
+  full events schema (column pruning reached the reader).
+"""
+
+from webcrawlergo_spark.operators.window import latest_pages
+from webcrawlergo_spark.sources.crawlviews import pages_view, urls_view
+from webcrawlergo_spark.sources.tpch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _flagship(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    return latest_pages(pages_view(ev), urls_view(ev))
+
+
+def test_flagship_window_group_limit(spark):
+    df = _flagship(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_flagship_no_forced_broadcast(spark):
+    df = _flagship(spark)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # a user-forced broadcast() shows up as a ResolvedHint/JoinHint in
+    # the logical plan; AQE's own runtime broadcast choice does not
+    assert "ResolvedHint" not in optimized, optimized
+    assert "broadcast" not in optimized.lower(), optimized
+
+
+def test_flagship_scan_is_pruned(spark):
+    df = _flagship(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # events carries the full crawl-event schema; the flagship needs
+    # only the page/url projection — the reader schema must not
+    # mention event-only payload columns
+    assert "event_type" not in plan, plan

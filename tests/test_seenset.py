@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from webcrawlergo_spark.operators.seenset import (
     CuckooFilter,
     bloom_build,
+    bloom_or_shards,
     bloom_probe,
+    bloom_probe_sharded,
     build_bloom_shards,
     dedup_new_urls,
 )
@@ -35,13 +37,60 @@ def test_bloom_fpr_reasonable():
 def test_bloom_dedup_equals_exact(spark):
     seen = spark.range(2000).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
     cand = spark.range(1500, 3000).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
-    shards = {
-        r["shard"]: (r["m_bits"], bytes(r["bits"]))
-        for r in build_bloom_shards(seen, n_shards=8).collect()
-    }
+    bloom_df = build_bloom_shards(seen, n_shards=8)
     exact = sorted(r["url"] for r in dedup_new_urls(cand, seen).collect())
-    bloom = sorted(r["url"] for r in dedup_new_urls(cand, seen, bloom_shards=shards, n_shards=8).collect())
+    bloom = sorted(
+        r["url"] for r in dedup_new_urls(cand, seen, bloom_df=bloom_df, n_shards=8).collect()
+    )
     assert exact == bloom == [f"u{i}" for i in range(2000, 3000)]
+
+
+def test_bloom_probe_is_executor_side(spark):
+    """The probe plan is a cogrouped FlatMapCoGroupsInPandas — the
+    shard blobs arrive via the shuffle (one blob per task), never as a
+    whole-table broadcast; the driver holds no blob between calls."""
+    seen = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    cand = spark.range(500, 1500).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    bloom_df = build_bloom_shards(seen, n_shards=8)
+    flagged = bloom_probe_sharded(cand, bloom_df, n_shards=8)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    # no false negatives: every seen candidate is flagged maybe_seen
+    rows = {r["url"]: r["maybe_seen"] for r in flagged.collect()}
+    assert all(rows[f"u{i}"] for i in range(500, 1000))
+
+
+def test_bloom_probe_missing_shard_is_definitely_new(spark):
+    """Candidates hashing to a shard with no blob row (e.g. a fresh
+    shard before any key landed there) must come back maybe_seen=False
+    — bloom negatives stay exact."""
+    seen = spark.range(1).select(F.concat(F.lit("seed"), F.col("id")).alias("url"))
+    bloom_df = build_bloom_shards(seen, n_shards=8)  # ≤1 shard populated
+    cand = spark.range(2000).select(F.concat(F.lit("x"), F.col("id")).alias("url"))
+    flagged = bloom_probe_sharded(cand, bloom_df, n_shards=8)
+    n_maybe = flagged.filter(F.col("maybe_seen")).count()
+    assert n_maybe < 50  # only same-shard false positives survive
+
+
+def test_bloom_or_shards_incremental_bit_equality(spark):
+    """OR-ing the second half into shards built from the first half is
+    bit-identical to building from the whole set at the same sizing —
+    and the result probes with no false negatives."""
+    per_shard = 4096
+    half1 = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    half2 = spark.range(1000, 2000).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    both = half1.unionByName(half2)
+    base = build_bloom_shards(half1, n_shards=4, expected_per_shard=per_shard)
+    ored = bloom_or_shards(
+        base, half2, n_shards=4, default_m_bits=per_shard * 10
+    )
+    full = build_bloom_shards(both, n_shards=4, expected_per_shard=per_shard)
+    a = {r["shard"]: (r["m_bits"], r["n"], bytes(r["bits"])) for r in ored.collect()}
+    b = {r["shard"]: (r["m_bits"], r["n"], bytes(r["bits"])) for r in full.collect()}
+    assert a == b
+    flagged = bloom_probe_sharded(both, ored, n_shards=4)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
 
 
 def test_cuckoo_insert_contains_delete():

@@ -9,8 +9,8 @@ no Python in the hot path:
                 self-join → verified Jaccard
 - simhash:      16-bit sign-aggregated token hash, groupBy-sum shaped
                 (map-side combine ⇒ scales)
-- n-gram Jaccard: exact Jaccard over word-bigram sets for candidate
-                pairs
+- n-gram Jaccard: exact Jaccard over word-bigram sets, candidates
+                from the same banded LSH generator (independent seeds)
 
 Portability note: every hash is md5 (bit-identical in Spark, DuckDB
 and Python), never xxhash/murmur, so each op has an exact DuckDB
@@ -68,7 +68,7 @@ FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
 """
 
 
-def _minhash_agg(docs: DataFrame) -> DataFrame:
+def _minhash_agg(docs: DataFrame, n: int = SHINGLE, seed_prefix: str = "") -> DataFrame:
     """(doc_id, mh0..mh7) via explode + groupBy-min.
 
     NOT array_min(transform(shingles, ...)) per seed: Catalyst's
@@ -80,10 +80,10 @@ def _minhash_agg(docs: DataFrame) -> DataFrame:
     Docs with no shingles (shorter than the shingle width) keep a row
     with NULL mins via the left join.
     """
-    exploded = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("g"))
+    exploded = docs.select("doc_id", F.explode(_shingles(F.col("text"), n=n)).alias("g"))
     aggd = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"mh{i}")
+            F.min(F.md5(F.concat(F.lit(f"{seed_prefix}{i}:"), F.col("g")))).alias(f"mh{i}")
             for i in range(N_MINHASH)
         ]
     )
@@ -119,19 +119,19 @@ ORDER BY doc_id
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH near-dup candidates + verified Jaccard.
-
-    shingle → minhash → band → bucket self-join (the scale path: one
-    shuffle on band key; candidate verification touches only bucket
-    collisions, never the n² cross join).
-    """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = _shingles(F.col("text"))
+def _lsh_jaccard_pairs(
+    docs: DataFrame, n: int, threshold: float, seed_prefix: str = ""
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates + verified Jaccard over word
+    n-gram shingles — the shared scale path for every shingle width:
+    shingle → minhash → band → bucket self-join (one shuffle on band
+    key; candidate verification touches only bucket collisions, never
+    the n² cross join)."""
+    sh = _shingles(F.col("text"), n=n)
     band_cols = [
         F.md5(
             F.concat(
-                F.lit(f"band{b}:"),
+                F.lit(f"{seed_prefix}band{b}:"),
                 *[
                     F.col(f"mh{i}")
                     for i in range(b * (N_MINHASH // N_BANDS), (b + 1) * (N_MINHASH // N_BANDS))
@@ -148,7 +148,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     # the self-join's two sides don't recompute it (at cluster scale: a
     # persisted intermediate); the verify step recomputes shingles ONLY
     # for candidate docs (semi-join pushdown).
-    banded = _minhash_agg(docs).select("doc_id", *band_cols).localCheckpoint(eager=True)
+    banded = (
+        _minhash_agg(docs, n=n, seed_prefix=seed_prefix)
+        .select("doc_id", *band_cols)
+        .localCheckpoint(eager=True)
+    )
     melted = banded.select(
         "doc_id",
         F.explode(F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(N_BANDS)])).alias("bk"),
@@ -189,22 +193,31 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     )
 
 
-def _band_key_sql(b: int) -> str:
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dups over word 3-gram shingles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _lsh_jaccard_pairs(docs, n=SHINGLE, threshold=threshold)
+
+
+def _band_key_sql(b: int, seed_prefix: str = "") -> str:
     rows = range(b * (N_MINHASH // N_BANDS), (b + 1) * (N_MINHASH // N_BANDS))
     concat = " || ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min')" for i in rows
+        f"list_aggregate(list_transform(sh, x -> md5('{seed_prefix}{i}:' || x)), 'min')"
+        for i in rows
     )
-    return f"md5('band{b}:' || {concat})"
+    return f"md5('{seed_prefix}band{b}:' || {concat})"
 
 
-MINHASH_LSH_SQL = f"""
+def _lsh_sql(n: int, threshold: float, seed_prefix: str = "") -> str:
+    """DuckDB twin of _lsh_jaccard_pairs, parameterized the same way."""
+    return f"""
 WITH sigs AS (
   SELECT doc_id, sh FROM (
-    SELECT doc_id, {_shingles_sql()} AS sh
+    SELECT doc_id, {_shingles_sql(n)} AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t1) t2),
 melted AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, sh, {b} AS band_id, {_band_key_sql(b)} AS band_key FROM sigs"
+      f"SELECT doc_id, sh, {b} AS band_id, {_band_key_sql(b, seed_prefix)} AS band_key FROM sigs"
       for b in range(N_BANDS))}),
 cand AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -219,9 +232,12 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE round(len(list_filter(sh_a, x -> list_contains(sh_b, x)))
             / (len(sh_a) + len(sh_b)
-               - len(list_filter(sh_a, x -> list_contains(sh_b, x)))), 6) >= 0.5
+               - len(list_filter(sh_a, x -> list_contains(sh_b, x)))), 6) >= {threshold}
 ORDER BY doc_a, doc_b
 """
+
+
+MINHASH_LSH_SQL = _lsh_sql(SHINGLE, 0.5)
 
 N_SIMHASH_BITS = 16
 
@@ -272,34 +288,18 @@ FROM agg ORDER BY doc_id
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (word-bigram) Jaccard for deterministic candidate
-    pairs (doc i vs doc i+1) — verifies the Jaccard arithmetic on a
-    non-empty pair set regardless of corpus similarity."""
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Word-bigram Jaccard near-dups through the SAME banded LSH
+    candidate generator as minhash_lsh_pairs (independent seed space,
+    lower verify threshold — bigrams admit looser matches than
+    3-gram shingles). The r2 version verified Jaccard arithmetic on an
+    artificial (doc i, doc i+1) pairing; candidates now come from
+    bucket collisions, the shape that scales (never n²)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = _shingles(F.col("text"), n=2)
-    d = docs.select("doc_id", sh.alias("sh"))
-    a = d.alias("a")
-    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")).alias("b")
-    j = a.join(b, "doc_id").select(
-        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"), "sh", "sh_b"
-    )
-    inter = F.size(F.filter(F.col("sh"), lambda x: F.array_contains(F.col("sh_b"), x)))
-    union = F.size("sh") + F.size("sh_b") - inter
-    return j.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")).orderBy("doc_a")
+    return _lsh_jaccard_pairs(docs, n=2, threshold=threshold, seed_prefix="ng")
 
 
-NGRAM_JACCARD_SQL = f"""
-WITH d AS (
-  SELECT doc_id, {_shingles_sql(2)} AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
-             / (len(a.sh) + len(b.sh)
-                - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
-FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-ORDER BY doc_a
-"""
+NGRAM_JACCARD_SQL = _lsh_sql(2, 0.3, seed_prefix="ng")
 
 
 QUERIES = {

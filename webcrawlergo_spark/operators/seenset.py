@@ -13,9 +13,17 @@ plus an *exact* confirm so results stay bit-for-bit:
 
 Bloom negatives are exact (no false negatives), so only the
 (tiny) positive fraction pays the anti-join. Filters are built
-per-shard with applyInPandas (one numpy bit-array per shard),
-persisted as binary blobs through the checkpoint store, and probed
-via a broadcast dict — no driver-side row loops anywhere.
+per-shard with applyInPandas (one numpy bit-array per shard) and live
+EXECUTOR-SIDE for their whole life: the shard table stays a DataFrame
+(shard, m_bits, n, bits), the probe is a cogrouped applyInPandas that
+repartitions candidates by shard so each task holds exactly ONE
+shard's blob, and the per-wave OR-in is a second cogroup producing
+the next shard table — the driver never materializes a blob and no
+task ever sees more than seen_bits/n_shards. (The r2 design
+broadcast the whole shard dict to every executor and kept a driver
+copy: ~12.5 GB per node at the 10^10-URL design point. Now the only
+whole-set transfer is the shard-table shuffle itself, which spreads
+1/n_shards per task.)
 
 The cuckoo tier handles what bloom cannot: deletion. It backs the
 S9 delete / T4 resurrection path (cuckoo_insert_urls /
@@ -184,10 +192,13 @@ def build_bloom_shards(
     """urls → (shard int, m_bits long, n long, bits binary), one row
     per shard, built in parallel with applyInPandas. ``growth`` sizes
     headroom over the current count so incremental OR-ins
-    (bloom_or_into) don't force an immediate rebuild."""
+    (bloom_or_shards) don't force an immediate rebuild."""
     hashed = with_hashes(urls.select(url_col), url_col, n_shards)
-    total = urls.count()
-    per_shard = expected_per_shard or max(1024, (total // max(n_shards, 1)) * growth)
+    if expected_per_shard is None:
+        total = urls.count()
+        per_shard = max(1024, (total // max(n_shards, 1)) * growth)
+    else:
+        per_shard = expected_per_shard
     m_bits = per_shard * bits_per_key
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -208,71 +219,118 @@ def build_bloom_shards(
     return hashed.groupBy("_shard").applyInPandas(build, schema)
 
 
-def bloom_or_into(
-    shards: dict[int, list],
-    shard_arr: np.ndarray,
-    h1_arr: np.ndarray,
-    h2_arr: np.ndarray,
+BLOOM_SHARDS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("m_bits", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("bits", T.BinaryType()),
+    ]
+)
+
+
+def bloom_probe_sharded(
+    candidates: DataFrame,
+    bloom_df: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
     k: int = DEFAULT_K,
-) -> None:
-    """Incrementally OR key hashes into existing shard blobs IN PLACE —
-    the per-wave maintenance path (O(new keys), not O(seen), unlike a
-    rebuild). Fully vectorized: inputs are parallel numpy arrays.
-    ``shards``: shard → [m_bits, bytearray, n]. Missing shards are
-    sized like the smallest existing one."""
-    shard_arr = np.asarray(shard_arr)
-    h1_arr = np.asarray(h1_arr, dtype=np.int64).astype(np.uint64)
-    h2_arr = np.asarray(h2_arr, dtype=np.int64).astype(np.uint64)
-    default_m = min((v[0] for v in shards.values()), default=1024 * DEFAULT_BITS_PER_KEY)
-    for s in np.unique(shard_arr):
-        mask = shard_arr == s
-        s = int(s)
-        if s not in shards:
-            shards[s] = [default_m, bytearray((default_m + 7) // 8), 0]
-        m_bits, buf, n = shards[s]
-        delta = bloom_build(h1_arr[mask], h2_arr[mask], m_bits, k)
-        view = np.frombuffer(buf, dtype=np.uint8)  # writable: buf is a bytearray
-        view |= delta
-        shards[s][2] = n + int(mask.sum())
-
-
-def bloom_needs_rebuild(shards: dict[int, list], bits_per_key: int = DEFAULT_BITS_PER_KEY) -> bool:
-    """True when any shard holds more keys than its sizing budget —
-    FPR has degraded past design and the caller should rebuild from
-    the exact seen set (correctness never depends on this: bloom
-    positives are exact-confirmed downstream)."""
-    return any(n * bits_per_key > m_bits for m_bits, _, n in shards.values())
-
-
-def bloom_maybe_seen(
-    candidates: DataFrame, shards: dict[int, tuple[int, bytes]], url_col: str = "url",
-    n_shards: int = 16, k: int = DEFAULT_K,
+    probe_salt: int = 2,
 ) -> DataFrame:
-    """Add ``maybe_seen`` to candidates via broadcast shard probe.
-    ``shards``: shard → (m_bits, bits). False ⇒ definitely new."""
-    spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(shards)
+    """Add ``maybe_seen`` via the shard-partitioned executor-side probe.
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(shard: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
-        out = np.ones(len(shard), dtype=bool)
-        sh = shard.to_numpy()
-        h1v = h1.to_numpy(np.uint64)
-        h2v = h2.to_numpy(np.uint64)
-        for s in np.unique(sh):
-            entry = bc.value.get(int(s))
-            mask = sh == s
-            if entry is None:
-                out[mask] = False
-                continue
-            m_bits, blob = entry
-            bits = np.frombuffer(blob, dtype=np.uint8)
-            out[mask] = bloom_probe(bits, h1v[mask], h2v[mask], m_bits, k)
-        return pd.Series(out)
+    Candidates are repartitioned by their shard and cogrouped with the
+    shard table, so each task reads exactly ONE shard's blob — driver
+    memory and per-executor memory stay flat w.r.t. the seen-set size
+    (the broadcast-dict probe this replaces shipped EVERY shard to
+    EVERY executor). A candidate shard with no blob row is definitely
+    new (maybe_seen = False).
 
-    hashed = with_hashes(candidates, url_col, n_shards)
-    return hashed.withColumn("maybe_seen", probe("_shard", "_h1", "_h2")).drop(
-        "_h1", "_h2", "_shard"
+    ``probe_salt`` multiplies probe parallelism past n_shards: the
+    cogroup key is (shard, salt) with the blob row replicated per salt
+    — n_shards*probe_salt tasks, each still holding one blob. The
+    replication cost is salt×(total blob bytes) through the shuffle,
+    spread across the cluster — vs the broadcast's
+    executors×(total blob bytes) to every node.
+    """
+    out_fields = list(candidates.schema.fields)
+    out_cols = [f.name for f in out_fields]
+    out_schema = T.StructType(out_fields + [T.StructField("maybe_seen", T.BooleanType())])
+    hashed = with_hashes(candidates, url_col, n_shards).withColumn(
+        "_salt", F.pmod(F.col("_h2"), F.lit(probe_salt)).cast("int")
+    )
+    blob_side = bloom_df.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(probe_salt)]))
+    )
+
+    def probe(cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand):
+            return pd.DataFrame(columns=out_cols + ["maybe_seen"])
+        if not len(shard):
+            maybe = np.zeros(len(cand), dtype=bool)
+        else:
+            m_bits = int(shard["m_bits"].iloc[0])
+            bits = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8)
+            maybe = bloom_probe(
+                bits,
+                cand["_h1"].to_numpy(np.uint64),
+                cand["_h2"].to_numpy(np.uint64),
+                m_bits,
+                k,
+            )
+        out = cand[out_cols].copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        hashed.groupBy("_shard", "_salt")
+        .cogroup(blob_side.groupBy("shard", "_salt"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def bloom_or_shards(
+    bloom_df: DataFrame,
+    new_urls: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    k: int = DEFAULT_K,
+    default_m_bits: int = 64_000 * DEFAULT_BITS_PER_KEY,
+) -> DataFrame:
+    """Next wave's shard table: OR the new keys' bits into each blob,
+    executor-side (cogroup on shard — the task that ORs a shard holds
+    only that shard's blob plus its wave keys). Shards with no new
+    keys pass through unchanged; keys for a missing shard allocate a
+    fresh ``default_m_bits`` blob. O(new keys + blob bytes) per wave,
+    no driver hop (the r2 path collected every wave's key hashes to
+    the driver and mutated a driver-resident dict)."""
+    keys = with_hashes(new_urls.select(url_col), url_col, n_shards).select(
+        "_shard", "_h1", "_h2"
+    )
+
+    def or_in(new: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if not len(shard):
+            sid = int(new["_shard"].iloc[0])
+            m_bits, n = default_m_bits, 0
+            bits = np.zeros((default_m_bits + 7) // 8, dtype=np.uint8)
+        else:
+            sid = int(shard["shard"].iloc[0])
+            m_bits = int(shard["m_bits"].iloc[0])
+            n = int(shard["n"].iloc[0])
+            bits = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8).copy()
+        if len(new):
+            bits |= bloom_build(
+                new["_h1"].to_numpy(np.uint64), new["_h2"].to_numpy(np.uint64), m_bits, k
+            )
+            n += len(new)
+        return pd.DataFrame(
+            {"shard": [sid], "m_bits": [m_bits], "n": [n], "bits": [bits.tobytes()]}
+        )
+
+    return (
+        keys.groupBy("_shard")
+        .cogroup(bloom_df.groupBy("shard"))
+        .applyInPandas(or_in, BLOOM_SHARDS_SCHEMA)
     )
 
 
@@ -299,10 +357,12 @@ def dedup_new_urls(
     candidates: DataFrame,
     seen_urls: DataFrame,
     url_col: str = "url",
-    bloom_shards: dict[int, tuple[int, bytes]] | None = None,
+    bloom_df: DataFrame | None = None,
     n_shards: int = 16,
     cuckoo: CuckooFilter | None = None,
     maybe_col: str | None = None,
+    n_maybe: int | None = None,
+    confirm_broadcast_max: int = 2_000_000,
 ) -> DataFrame:
     """THE dedup operator (J2): candidates not in the seen set.
 
@@ -311,8 +371,18 @@ def dedup_new_urls(
     definite-new rows — identical results, a fraction of the shuffle.
     The cuckoo tier is the DELETABLE variant (S9/T4): after a
     registry delete the filter forgets the keys too, so the fast path
-    never goes stale (bloom can only be rebuilt)."""
-    if bloom_shards is None and cuckoo is None and maybe_col is None:
+    never goes stale (bloom can only be rebuilt).
+
+    Confirm strategy: when the caller knows the maybe-fraction row
+    count (``n_maybe``, e.g. observed on an upstream checkpoint) and
+    it is broadcastable, the exact confirm becomes two broadcast hash
+    joins — ``hits = seen ⋉ broadcast(maybe)`` (seen is STREAMED
+    map-side: scanned once, never shuffled or sorted) then
+    ``maybe ▷ broadcast(hits)``. That removes the per-wave
+    shuffle+sort of the (unbounded, crawl-lifetime) seen set that the
+    plain sort-merge anti-join pays; above the threshold it falls
+    back to the sort-merge anti-join."""
+    if bloom_df is None and cuckoo is None and maybe_col is None:
         return candidates.join(seen_urls.select(url_col), url_col, "left_anti")
     if maybe_col is not None:
         # the probe already ran (e.g. inside an upstream checkpointed
@@ -321,10 +391,16 @@ def dedup_new_urls(
     elif cuckoo is not None:
         flagged = cuckoo_maybe_seen(candidates, cuckoo, url_col, n_shards)
     else:
-        flagged = bloom_maybe_seen(candidates, bloom_shards, url_col, n_shards)
+        flagged = bloom_probe_sharded(candidates, bloom_df, url_col, n_shards)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = maybe.join(seen_urls.select(url_col), url_col, "left_anti")
+    if n_maybe is not None and n_maybe <= confirm_broadcast_max:
+        hits = seen_urls.select(url_col).join(
+            F.broadcast(maybe.select(url_col)), url_col, "left_semi"
+        )
+        confirmed_new = maybe.join(F.broadcast(hits), url_col, "left_anti")
+    else:
+        confirmed_new = maybe.join(seen_urls.select(url_col), url_col, "left_anti")
     return definite_new.unionByName(confirmed_new)
 
 

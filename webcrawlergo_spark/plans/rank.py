@@ -66,3 +66,51 @@ def with_global_rank(
         .withColumn(rank_col, (F.coalesce(F.col("_off"), F.lit(start)) + F.col("_local_rn") - 1).cast("long"))
         .drop("_pid", "_local_rn", "_off")
     )
+
+
+def with_host_seq(
+    df: DataFrame,
+    host_col: str,
+    order_cols: list[str],
+    seq_col: str,
+    n_rows: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Add ``seq_col``: the 1-based rank of each row WITHIN its host
+    under ``order_cols`` — the per-request politeness clock (the
+    reference sleeps RequestDelay between a host's requests, so a
+    request's virtual offset inside a wave is (seq-1) × delay).
+
+    A plain ``row_number() OVER (PARTITION BY host)`` serializes a
+    mega-host (25% of the bench frontier is one host) into a single
+    task. Distributed shape instead: range-partition on
+    (host, order) so one host spans several ordered partitions, rank
+    locally, then add per-(partition, host) offsets via a prefix sum
+    over the COUNTS table (O(distinct (partition, host)) rows — ≤ a
+    few rows per host — never the event rows)."""
+    if n_rows is not None and n_rows <= SMALL_BATCH:
+        w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    parted = df.repartitionByRange(int(n), F.col(host_col), *[F.col(c) for c in order_cols])
+    w = Window.partitionBy(F.spark_partition_id(), host_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local_rn", F.row_number().over(w)
+    )
+    local = local.localCheckpoint(eager=True)  # pin the partition layout
+    counts = local.groupBy("_pid", host_col).agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", host_col, "_off")
+    return (
+        local.join(offsets, ["_pid", host_col], "left")
+        .withColumn(seq_col, (F.col("_off") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_off")
+    )

@@ -49,12 +49,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.urlnorm import make_normalize_udf, normalize_expr
 from ..operators.linkextract import extract_links
 from ..operators.seenset import (
-    bloom_maybe_seen,
-    bloom_needs_rebuild,
-    bloom_or_into,
+    DEFAULT_BITS_PER_KEY,
+    bloom_or_shards,
+    bloom_probe_sharded,
     build_bloom_shards,
     dedup_new_urls,
-    with_hashes,
 )
 from ..operators.validate import (
     marked_flag,
@@ -64,9 +63,19 @@ from ..operators.validate import (
     validity_flag,
 )
 from .checkpoint import CheckpointStore
-from .rank import with_global_rank
+from .rank import with_global_rank, with_host_seq
 
 FRONTIER_COLS = "url string, host string, depth int, parent_rank long, span_offset int, link_pos int, should_fetch boolean, retry_count int"
+
+def _bloom_overflow_metric():
+    """Any shard holding more keys than its bits_per_key budget ⇒ FPR
+    past design ⇒ rebuild with headroom. Ridden as an Observation
+    metric on whatever action settles the shard table — never its own
+    job. (A function, not a module constant: building a Column needs
+    an active SparkContext.)"""
+    return F.max(
+        (F.col("n") * F.lit(DEFAULT_BITS_PER_KEY) > F.col("m_bits")).cast("long")
+    ).alias("overflow")
 
 
 @dataclass
@@ -80,6 +89,22 @@ class CrawlConfig:
     now_ts: float = 1_700_000_000.0
     seen_mode: str = "exact"  # "exact" | "bloom"
     n_shards: int = 16
+    # bloom-mode tuning. The probe pays a fixed cost (a shard-key
+    # shuffle of the wave's candidates + an Arrow round-trip) to avoid
+    # shuffling+sorting the crawl-lifetime seen set; below this seen
+    # size the plain anti-join is cheaper, so bloom mode runs the
+    # exact join while still maintaining the shards (lazy OR-in) so
+    # the probe is ready the moment the gate opens. The default is the
+    # measured single-host crossover (BENCH.md §bloom-crossover: at
+    # 1M-row candidates the memory-local hash anti-join wins below
+    # ~4M seen rows; the probe wins above). On a multi-node cluster
+    # the anti-join pays a network shuffle+sort of the whole seen set,
+    # so the crossover drops sharply — size this at roughly 4x the
+    # expected wave candidate count there. Parity tests set 0 to
+    # force the probe on tiny corpora.
+    bloom_probe_min_seen: int = 4_000_000
+    # probe tasks = n_shards * salt (each task still holds ONE blob)
+    bloom_probe_salt: int = 2
     # reference semantics: single-site crawl (P8). False = accept any
     # host — the multi-host frontier mode the 10^10-URL north rule
     # actually runs at (same-host is then just one more predicate).
@@ -120,6 +145,16 @@ class CrawlConfig:
     # "auto" switches on rule-set size.
     robots_mode: str = "auto"
     robots_expr_max_rules: int = 64
+    # exact per-request virtual-time politeness (T1 fidelity): when
+    # on, every event carries fetch_seq (its 1-based position in its
+    # host's wave queue) and virtual_ms (wave base + (seq-1) × delay),
+    # reconstructing the reference's per-request schedule exactly —
+    # for a single worker the reconstruction collapses to
+    # event_rank × delay (asserted by parity test). Off by default:
+    # it costs one distributed per-host rank per wave (plans/rank.py
+    # with_host_seq) and the shard-level virtual_ms lineage already
+    # satisfies the set/order contract.
+    virtual_time_exact: bool = False
 
     def __post_init__(self):
         # reference internal/utils.go ContainsAny skips empty patterns;
@@ -298,7 +333,10 @@ class CrawlEngine:
         spark = self.spark
         store = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
-        events_schema = "event_rank long, wave_id int, url string, status string"
+        events_schema = (
+            "event_rank long, wave_id int, url string, status string, "
+            "fetch_seq long, virtual_ms long"
+        )
         pages_schema = "url string, doc_id string, event_rank long"
         lineage_schema = (
             "wave_id int, partition_id int, dequeued long, fetched long, deduped long, "
@@ -323,6 +361,7 @@ class CrawlEngine:
                 if prior is not None:
                     deltas.append(prior)
             event_base = int(m["meta"]["event_base"])
+            virtual_base_ms = int(m["meta"].get("virtual_base_ms", 0))
             wave_id = int(m["wave_id"]) + 1
         else:
             frontier, urls, seen, fetch_flags = self._seed_frontier(resume_urls)
@@ -344,6 +383,7 @@ class CrawlEngine:
                 )
             invalid = self._empty("url string")
             event_base = 0
+            virtual_base_ms = 0
             wave_id = 0
         # fast-path guards — python-side facts that let a wave skip
         # whole plan sections (each skipped section = 1-2 jobs/wave):
@@ -361,28 +401,33 @@ class CrawlEngine:
         # bloom shards live across waves: built once (or resumed from
         # the checkpoint), then incrementally OR-ed per wave — the r1
         # version rebuilt from the FULL seen set every wave, O(seen)
-        # instead of O(new). shard → [m_bits, bytearray, n].
-        bloom: dict[int, list] | None = None
+        # instead of O(new). The shard table is a DATAFRAME for its
+        # whole life (executor-side blobs, cogrouped probe/OR-in in
+        # operators/seenset.py); the driver tracks only two ints —
+        # the default shard sizing and a seen-count estimate for the
+        # probe gate. The r2 design held a driver dict and broadcast
+        # it whole to every executor: ~12.5 GB per node at the
+        # 10^10-URL design point. Now nothing driver-side grows with
+        # the seen set.
+        bloom_df: DataFrame | None = None
+        bloom_default_m = 0
+        bloom_chain = 0  # un-settled lazy OR-in links
+        n_seen_est = 0
         if cfg.seen_mode == "bloom":
-            loaded = store.load(spark, "bloom") if (resume and store and store.latest()) else None
+            n_seen_est = seen.count()
             # capacity floor: a crawl grows the seen set by orders of
             # magnitude past the seed list — sizing off the seeds alone
             # forces O(seen) rebuilds every couple of waves. 64k keys ×
             # 10 bits ≈ 80 KB/shard: headroom is ~free.
+            per_shard = max(64_000, n_seen_est * 4 // max(cfg.n_shards, 1))
+            bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
+            loaded = store.load(spark, "bloom") if (resume and store and store.latest()) else None
             if loaded is not None:
-                src = loaded
+                bloom_df = loaded  # parquet-backed, already truncated
             else:
-                src = build_bloom_shards(
-                    seen,
-                    n_shards=cfg.n_shards,
-                    expected_per_shard=max(
-                        64_000, seen.count() * 4 // max(cfg.n_shards, 1)
-                    ),
-                )
-            bloom = {
-                int(r["shard"]): [int(r["m_bits"]), bytearray(r["bits"]), int(r["n"])]
-                for r in src.collect()
-            }
+                bloom_df = build_bloom_shards(
+                    seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
+                ).localCheckpoint(eager=True)
 
         import time as _time
 
@@ -499,14 +544,39 @@ class CrawlEngine:
             ok = sim.filter(~F.col("transport_fail") & (F.col("http_status") == 200))
             dead = sim.filter(~F.col("transport_fail") & (F.col("http_status") == 404)).select("url")
 
-            wave_events = sim.select(
-                "event_rank", F.lit(wave_id).alias("wave_id"), "url",
+            status_col = (
                 F.when(F.col("transport_fail"), "fail")
                 .when(F.col("http_status") == 200, "ok")
                 .when(F.col("http_status") == 404, "notfound")
                 .otherwise("skip")
-                .alias("status"),
+                .alias("status")
             )
+            if cfg.virtual_time_exact:
+                # per-request politeness clock: seq within (wave, host),
+                # virtual offset (seq-1) × delay from the wave's virtual
+                # base; the wave's virtual duration is its busiest
+                # host's queue drained at one request per delay
+                seqd = with_host_seq(
+                    sim, "host", ["event_rank"], "fetch_seq", n_rows=n_events
+                )
+                wave_events = seqd.select(
+                    "event_rank", F.lit(wave_id).alias("wave_id"), "url", status_col,
+                    "fetch_seq",
+                    (
+                        F.lit(virtual_base_ms)
+                        + (F.col("fetch_seq") - 1) * F.lit(cfg.request_delay_ms)
+                    ).cast("long").alias("virtual_ms"),
+                )
+                virtual_base_ms += (
+                    int(seqd.agg(F.max("fetch_seq")).first()[0] or 0)
+                    * cfg.request_delay_ms
+                )
+            else:
+                wave_events = sim.select(
+                    "event_rank", F.lit(wave_id).alias("wave_id"), "url", status_col,
+                    F.lit(None).cast("long").alias("fetch_seq"),
+                    F.lit(None).cast("long").alias("virtual_ms"),
+                )
             events_deltas.append(wave_events)
 
             # X1 + X2: extract → canonicalize → split empty/known-invalid.
@@ -596,25 +666,45 @@ class CrawlEngine:
             grouped = judged.groupBy("href", "valid").agg(
                 F.min(F.struct("event_rank", "span_offset", "link_pos", "depth", "host")).alias("k")
             )
-            if bloom is not None:
+            # flatten the min-struct BEFORE anything Arrow-bound: a
+            # struct column crosses applyInPandas as per-row Python
+            # dicts (measured ~4x the whole probe's cost at 200k
+            # candidates); flat native columns stay zero-copy
+            grouped = grouped.select(
+                "href",
+                "valid",
+                F.col("k.event_rank").alias("event_rank"),
+                F.col("k.span_offset").alias("span_offset"),
+                F.col("k.link_pos").alias("link_pos"),
+                F.col("k.depth").alias("depth"),
+                F.col("k.host").alias("host"),
+            )
+            # probe gate: below bloom_probe_min_seen the anti-join the
+            # probe would avoid is cheaper than the probe's own
+            # shard-shuffle + Arrow hop — run exact, keep shards warm
+            probe_on = bloom_df is not None and n_seen_est >= cfg.bloom_probe_min_seen
+            metrics = [F.sum((~F.col("valid")).cast("long")).alias("n_invalid_cand")]
+            if probe_on:
                 # probe INSIDE the checkpointed stage: the definite-new /
                 # maybe-seen branches downstream then read the flag from
-                # memory instead of re-running the probe per branch
-                grouped = bloom_maybe_seen(
+                # memory instead of re-running the cogroup per branch.
+                # n_maybe rides the same action and picks the confirm
+                # strategy (broadcast two-step vs sort-merge anti).
+                grouped = bloom_probe_sharded(
                     grouped,
-                    {s: (v[0], bytes(v[1])) for s, v in bloom.items()},
+                    bloom_df,
                     url_col="href",
                     n_shards=cfg.n_shards,
+                    probe_salt=cfg.bloom_probe_salt,
                 )
-            grouped = (
-                grouped.observe(
-                    obs_grouped, F.sum((~F.col("valid")).cast("long")).alias("n_invalid_cand")
+                metrics.append(
+                    F.sum((F.col("valid") & F.col("maybe_seen")).cast("long")).alias("n_maybe")
                 )
-                .localCheckpoint(eager=True)
-            )
+            grouped = grouped.observe(obs_grouped, *metrics).localCheckpoint(eager=True)
             # observed during the checkpoint pass — replaces the r1
             # filter(~valid).limit(1).count() probe job
             n_invalid_cand = int(obs_grouped.get["n_invalid_cand"] or 0)
+            n_maybe = int(obs_grouped.get.get("n_maybe") or 0) if probe_on else 0
             _tick("extract+norm+judge")
 
             if n_invalid_cand:
@@ -629,18 +719,20 @@ class CrawlEngine:
 
             # first-encounter dedup (J2): min enqueue key within the wave,
             # then anti-join the seen set (exact or bloom+confirm)
-            flag_cols = [F.col("maybe_seen")] if bloom is not None else []
+            flag_cols = [F.col("maybe_seen")] if probe_on else []
             firsts = grouped.filter(F.col("valid")).select(
                 F.col("href").alias("url"),
-                F.col("k.host").alias("host"),
-                (F.col("k.depth") + 1).alias("depth"),
-                F.col("k.event_rank").alias("parent_rank"),
-                F.col("k.span_offset").alias("span_offset"),
-                F.col("k.link_pos").alias("link_pos"),
+                "host",
+                (F.col("depth") + 1).alias("depth"),
+                F.col("event_rank").alias("parent_rank"),
+                "span_offset",
+                "link_pos",
                 *flag_cols,
             )
-            if bloom is not None:
-                new_urls = dedup_new_urls(firsts, seen, maybe_col="maybe_seen")
+            if probe_on:
+                new_urls = dedup_new_urls(
+                    firsts, seen, maybe_col="maybe_seen", n_maybe=n_maybe
+                )
             else:
                 new_urls = dedup_new_urls(firsts, seen)
             obs_new = Observation()
@@ -650,34 +742,50 @@ class CrawlEngine:
                 .localCheckpoint(eager=True)
             )
             n_new = int(obs_new.get["n_new"] or 0)
-            if bloom is not None and n_new:
-                # O(new keys): hash JVM-side, Arrow-transfer the 3 hash
-                # columns (no Python Row objects), OR the wave's keys into
-                # the resident shards. Driver residence is the sandbox
-                # stand-in for executor-held shards; the exact-confirm
-                # anti-join downstream keeps results bit-identical.
-                tab = (
-                    with_hashes(new_urls.select("url"), n_shards=cfg.n_shards)
-                    .select("_shard", "_h1", "_h2")
-                    .toArrow()
+            if bloom_df is not None and n_new:
+                # O(new keys + blob bytes), all executor-side: hash
+                # JVM-side, cogroup the wave's keys with the shard table,
+                # each task ORs ONE shard's blob (operators/seenset.py).
+                # The OR-in is LAZY — it rides the next action that
+                # touches the shard table (the next wave's probe, the
+                # store commit, or the periodic settle below) instead of
+                # paying its own per-wave job. The chain stays shallow:
+                # new_urls is already checkpointed, each link is a
+                # cogroup over n_shards rows.
+                bloom_df = bloom_or_shards(
+                    bloom_df,
+                    new_urls.select("url"),
+                    n_shards=cfg.n_shards,
+                    default_m_bits=bloom_default_m,
                 )
-                bloom_or_into(
-                    bloom,
-                    tab["_shard"].to_numpy(),
-                    tab["_h1"].to_numpy(),
-                    tab["_h2"].to_numpy(),
+                bloom_chain += 1
+            if bloom_df is not None and bloom_chain >= truncate_every and store is None:
+                # settle the chain: one small job (blob rows only)
+                # truncates lineage and carries the overflow check as an
+                # observed metric — nothing but one int reaches the
+                # driver. Overflow cadence is every truncate_every
+                # waves: in between, degraded FPR only costs extra
+                # confirm work, never correctness (positives are always
+                # exact-confirmed).
+                obs_bloom = Observation()
+                bloom_df = (
+                    bloom_df.observe(obs_bloom, _bloom_overflow_metric())
+                    .localCheckpoint(eager=True)
                 )
-                if bloom_needs_rebuild(bloom):
+                bloom_chain = 0
+                if int(obs_bloom.get["overflow"] or 0):
                     # FPR degraded past sizing: one O(seen) rebuild with
                     # fresh headroom (seen already includes this wave)
-                    bloom = {
-                        int(r["shard"]): [int(r["m_bits"]), bytearray(r["bits"]), int(r["n"])]
-                        for r in build_bloom_shards(
-                            seen.unionByName(new_urls.select("url")),
-                            n_shards=cfg.n_shards,
-                            growth=4,
-                        ).collect()
-                    }
+                    per_shard = max(
+                        64_000, (n_seen_est + n_new) * 4 // max(cfg.n_shards, 1)
+                    )
+                    bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
+                    bloom_df = build_bloom_shards(
+                        seen.unionByName(new_urls.select("url")),
+                        n_shards=cfg.n_shards,
+                        expected_per_shard=per_shard,
+                    ).localCheckpoint(eager=True)
+            n_seen_est += n_new
             _tick("dedup+newurls")
 
             enqueued = new_urls.select(
@@ -822,13 +930,17 @@ class CrawlEngine:
                     "frontier": frontier, "urls": urls, "seen": seen,
                     "fetch_flags": fetch_flags, "invalid": invalid,
                 }
-                if bloom is not None:
+                obs_bloom = None
+                if bloom_df is not None:
                     # shard blobs round-trip the store: resume reuses
-                    # them instead of an O(seen) rebuild
-                    snap["bloom"] = spark.createDataFrame(
-                        [(s, v[0], v[2], bytes(v[1])) for s, v in sorted(bloom.items())],
-                        "shard int, m_bits long, n long, bits binary",
-                    )
+                    # them instead of an O(seen) rebuild. Already a
+                    # DataFrame — the commit write executes any pending
+                    # lazy OR-in links, fires the overflow metric, and
+                    # the read-back below truncates the chain. The
+                    # driver never touches a blob.
+                    obs_bloom = Observation()
+                    bloom_df = bloom_df.observe(obs_bloom, _bloom_overflow_metric())
+                    snap["bloom"] = bloom_df
                 entry = store.commit(
                     wave_id,
                     snap,
@@ -840,7 +952,7 @@ class CrawlEngine:
                         "pages": wave_pages,
                         "lineage": lin,
                     },
-                    meta={"event_base": event_base},
+                    meta={"event_base": event_base, "virtual_base_ms": virtual_base_ms},
                 )
                 # the commit write already materialized every state
                 # table — re-reading the committed parquet truncates
@@ -852,6 +964,15 @@ class CrawlEngine:
                 frontier = spark.read.parquet(entry["tables"]["frontier"])
                 if flags_live:
                     fetch_flags = spark.read.parquet(entry["tables"]["fetch_flags"])
+                if obs_bloom is not None:
+                    bloom_df = spark.read.parquet(entry["tables"]["bloom"])
+                    bloom_chain = 0
+                    if int(obs_bloom.get["overflow"] or 0):
+                        per_shard = max(64_000, n_seen_est * 4 // max(cfg.n_shards, 1))
+                        bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
+                        bloom_df = build_bloom_shards(
+                            seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
+                        ).localCheckpoint(eager=True)
             _tick("truncate+commit")
             if debug_timing:
                 print(f"  wave {wave_id}: {n_events} events", flush=True)
