@@ -46,3 +46,16 @@ def test_flagship_scan_is_pruned(spark):
     # only the page/url projection — the reader schema must not
     # mention event-only payload columns
     assert "event_type" not in plan, plan
+
+
+def test_ivf_assignment_is_partial_aggregate(spark):
+    """The IVF cell assignment must be a max_by AGGREGATE with a
+    map-side partial (corpus×cells rows collapse before the exchange)
+    — not a Window.partitionBy(vec_id) pushing every row through the
+    shuffle (the r2 shape)."""
+    from webcrawlergo_spark.operators.similarity import ivf_cells
+
+    df = ivf_cells(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan

@@ -99,3 +99,31 @@ def test_get_map_value_and_not_found(spark):
 
     with _pytest.raises(KeyError):
         get_map_value(flags, "never-inserted")
+
+
+def test_with_host_seq_distributed_path_matches_window(spark):
+    """The distributed per-host sequence (range partition + local rank
+    + prefix-sum offsets over the counts table) must equal the plain
+    window row_number — exercised on the BIG path (n_rows omitted so
+    the range-partition machinery runs even at test size), with a
+    skewed mega-host (half the rows on one host)."""
+    from pyspark.sql import Window, functions as F
+
+    from webcrawlergo_spark.plans.rank import with_host_seq
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("mega.test"))
+        .otherwise(F.concat(F.lit("h"), F.pmod(F.col("id"), 97)))
+        .alias("host"),
+        F.col("id").alias("event_rank"),
+    )
+    got = {
+        (r["host"], r["event_rank"]): r["seq"]
+        for r in with_host_seq(df, "host", ["event_rank"], "seq").collect()
+    }
+    w = Window.partitionBy("host").orderBy("event_rank")
+    want = {
+        (r["host"], r["event_rank"]): r["seq"]
+        for r in df.withColumn("seq", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want

@@ -90,3 +90,33 @@ def test_rollback_then_resume_matches(spark, web, web_dfs, default_run):
             CrawlConfig(**base_cfg, checkpoint_dir=ckpt),
         ).run(resume=True)
         assert _collect_state(res) == want
+
+
+def test_kill_and_resume_bloom_mode(spark, web, web_dfs, default_run):
+    """T5 × X4: kill/resume with the executor-side bloom tier active.
+    The resumed engine must load the shard TABLE from the manifest
+    (store.load returns the parquet-backed DataFrame — no O(seen)
+    rebuild, no driver blobs) and still finish bit-identical to an
+    uninterrupted exact-mode run. Gate forced open so every wave
+    actually probes the resumed shards."""
+    base_cfg = dict(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        seen_mode="bloom",
+        n_shards=4,
+        bloom_probe_min_seen=0,
+    )
+    want = _collect_state(default_run)
+    with tempfile.TemporaryDirectory() as ckpt:
+        CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt, max_waves=2),
+        ).run()
+        store = CheckpointStore(ckpt)
+        assert "bloom" in store.latest()["tables"]  # shards round-tripped
+        res = CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt),
+        ).run(resume=True)
+        assert _collect_state(res) == want
