@@ -180,7 +180,12 @@ def _lsh_jaccard_pairs(
         cand.join(sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
-    inter = F.size(F.filter(F.col("sh_a"), lambda x: F.array_contains(F.col("sh_b"), x)))
+    # native array_intersect (codegen, hash-set build) — NOT the
+    # filter(array_contains) HOF: higher-order functions run
+    # interpreted and that shape is O(|a|·|b|) per pair. Shingle
+    # arrays are distinct by construction, so |intersect| is the
+    # true overlap count.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.select(
