@@ -192,7 +192,15 @@ def build_bloom_shards(
     """urls → (shard int, m_bits long, n long, bits binary), one row
     per shard, built in parallel with applyInPandas. ``growth`` sizes
     headroom over the current count so incremental OR-ins
-    (bloom_or_shards) don't force an immediate rebuild."""
+    (bloom_or_shards) don't force an immediate rebuild.
+
+    Sizing rule: the (rare) full build/rebuild delivers ONE shard's
+    key hashes (16 B/key) to one task — pick n_shards ≥
+    total_keys / ~50M so a shard's hash frame stays task-sized
+    (at the 10^10-key design point: n_shards ≥ 256, blob ≈ 780 MB
+    per shard spread one-per-task). The per-wave maintenance path
+    (bloom_or_shards) only ever ships a WAVE's keys and is
+    insensitive to total size."""
     hashed = with_hashes(urls.select(url_col), url_col, n_shards)
     if expected_per_shard is None:
         total = urls.count()
