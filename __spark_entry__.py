@@ -22,6 +22,7 @@ from webcrawlergo_spark.multimodal import MULTIMODAL_META_SQL, multimodal_meta
 from webcrawlergo_spark.operators import dedup as dd
 from webcrawlergo_spark.operators import olap
 from webcrawlergo_spark.operators import relational as rel
+from webcrawlergo_spark.operators import sampling as smp
 from webcrawlergo_spark.operators import similarity as sim
 from webcrawlergo_spark.operators import text as tx
 from webcrawlergo_spark.operators import window as win
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(sim.QUERIES)
     q.update(tx.QUERIES)
     q.update(olap.QUERIES)
+    q.update(smp.QUERIES)
     q["link_extract_spans"] = link_extract_spans
     q["crawl_bfs_depth"] = crawl_bfs_depth
     q["events_tumbling_agg"] = lambda spark, sf_dir: tumbling_event_counts(
@@ -411,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(sim.ORACLES)
     o.update(tx.ORACLES)
     o.update(olap.ORACLES)
+    o.update(smp.ORACLES)
     from webcrawlergo_spark.operators.crawl_queries import CRAWL_ORACLES
 
     o.update(CRAWL_ORACLES)

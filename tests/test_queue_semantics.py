@@ -127,3 +127,35 @@ def test_with_host_seq_distributed_path_matches_window(spark):
         for r in df.withColumn("seq", F.row_number().over(w).cast("long")).collect()
     }
     assert got == want
+
+
+def test_salted_topk_per_group_matches_plain_window(spark):
+    """The two-phase salted top-K (phase 1: per (group, salt); phase
+    2: exact rank of the bounded survivors) must select exactly the
+    rows a plain per-group window would — on a skewed frame where one
+    group holds half the rows."""
+    from pyspark.sql import Window, functions as F
+
+    from webcrawlergo_spark.operators.sampling import salted_topk_per_group
+
+    df = spark.range(30_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("mega")).otherwise(
+            F.concat(F.lit("g"), F.pmod(F.col("id"), 53))
+        ).alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+        F.col("id"),
+    )
+    got = {
+        (r["grp"], r["id"], r["rk"])
+        for r in salted_topk_per_group(
+            df, ["grp"], [F.col("h"), F.col("id")], 25, salt_on=F.col("id")
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("h", "id")
+    want = {
+        (r["grp"], r["id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,162 @@
+"""Training-data sampling / mixing operators.
+
+What a pretraining-data pipeline does between dedup and tokenization:
+pick HOW MUCH of each stratum to keep and WHICH rows, deterministically
+(a re-run must emit the same sample — no rand()). All built-in column
+functions; each op ships a DuckDB oracle twin.
+
+- salted_topk_per_group: the scale-shaped top-K-per-group primitive —
+  a plain ``row_number() OVER (PARTITION BY group)`` serializes a
+  mega-stratum into one task (a real corpus is 90% one language), so
+  phase 1 ranks within (group, salt) — n_salt-way parallel per group —
+  and keeps each salt's top-K (a superset of the true top-K); phase 2
+  ranks the ≤ n_salt·K survivors exactly. Identical selection, bounded
+  partitions. Same pattern as the crawl's politeness cap
+  (plans/wave.py), exposed as a reusable operator.
+- stratified_sample: K docs per language, chosen by a uniform
+  deterministic hash (md5 of the doc id) — "hash sampling", the
+  standard reproducible substitute for bernoulli sampling.
+- domain_mix_weights: per-source corpus share and temperature-scaled
+  mixing weight share^T / Σ share^T (T=0.7 — the standard flattening
+  exponent for domain balancing in LM data recipes).
+- user_event_seq: per-key event sequence via the DISTRIBUTED rank
+  (plans/rank.py::with_host_seq — range partition + prefix-sum
+  offsets, no per-key single task), oracle-checked against
+  ROW_NUMBER() so the machinery itself sits under the driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..plans.rank import with_host_seq
+
+SAMPLE_K = 40      # docs kept per language stratum
+MIX_TEMP = 0.7     # domain-balancing temperature
+N_SALT = 16
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rk",
+    n_salt: int = N_SALT,
+    salt_on=None,
+) -> DataFrame:
+    """Exact top-K per group without a per-group single-task window.
+
+    ``salt_on`` is the column whose hash spreads a group's rows over
+    salts (defaults to the first order column). Phase-1 keeps ≤ K per
+    (group, salt) — a superset of the group's true top-K because
+    dropping a row ranked > K within its own salt can never promote
+    it globally; phase-2 ranks the bounded survivor set exactly.
+    """
+    salt_src = salt_on if salt_on is not None else order_cols[0]
+    order = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    pre = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"))
+    w_salt = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    cands = pre.withColumn("_lrk", F.row_number().over(w_salt)).filter(
+        F.col("_lrk") <= k
+    )
+    w_group = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        cands.withColumn(rank_col, F.row_number().over(w_group))
+        .filter(F.col(rank_col) <= k)
+        .drop("_salt", "_lrk")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K docs per language by deterministic hash order (md5(doc_id)):
+    an unbiased, reproducible stratified sample — rerank-stable under
+    re-execution and appends of non-sampled rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    out = salted_topk_per_group(
+        docs, ["lang"], [F.col("h"), F.col("doc_id")], SAMPLE_K, salt_on=F.col("doc_id")
+    )
+    return out.select("lang", "doc_id", "rk").orderBy("lang", "rk")
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= {SAMPLE_K}
+ORDER BY lang, rk
+"""
+
+
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus share + temperature-scaled mixing weight
+    w_s = share_s^T / Σ share^T. The unpartitioned windows run over
+    the AGGREGATED frame — #sources rows, never the corpus — so the
+    single-partition stage is a few rows by construction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    scaled = F.pow(share, F.lit(MIX_TEMP))
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(scaled / F.sum(scaled).over(w_all), 6).alias("mix_weight"),
+    ).orderBy("source")
+
+
+DOMAIN_MIX_SQL = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+s AS (
+  SELECT source, n_docs,
+         n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS share
+  FROM c),
+p AS (
+  SELECT source, n_docs, share, pow(share, {MIX_TEMP}) AS sc FROM s)
+SELECT source, n_docs, round(share, 6) AS share,
+       round(sc / SUM(sc) OVER (), 6) AS mix_weight
+FROM p ORDER BY source
+"""
+
+
+def user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequence via the distributed per-key rank
+    (plans/rank.py::with_host_seq). n_rows is deliberately NOT passed:
+    the range-partition + prefix-sum-offsets path runs even at oracle
+    scale, so the driver gate checks the distributed machinery —
+    not the small-batch window shortcut — against ROW_NUMBER()."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    out = with_host_seq(ev, "user_id", ["ts", "event_id"], "seq")
+    return out.select("user_id", "event_id", "seq").orderBy("user_id", "seq")
+
+
+USER_EVENT_SEQ_SQL = """
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+ORDER BY user_id, seq
+"""
+
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+    "domain_mix_weights": domain_mix_weights,
+    "user_event_seq": user_event_seq,
+}
+
+ORACLES = {
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "domain_mix_weights": DOMAIN_MIX_SQL,
+    "user_event_seq": USER_EVENT_SEQ_SQL,
+}
