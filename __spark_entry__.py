@@ -18,7 +18,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from webcrawlergo_spark.multimodal import MULTIMODAL_META_SQL, multimodal_meta
+from webcrawlergo_spark.multimodal import (
+    FRAME_SAMPLE_SQL,
+    MULTIMODAL_META_SQL,
+    frame_sample_plan,
+    multimodal_meta,
+)
 from webcrawlergo_spark.operators import dedup as dd
 from webcrawlergo_spark.operators import olap
 from webcrawlergo_spark.operators import relational as rel
@@ -273,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize_stateful_stream"] = sessionize_stream
     q["multimodal_meta"] = multimodal_meta
+    q["frame_sample_plan"] = frame_sample_plan
     return q
 
 
@@ -420,4 +426,5 @@ def oracle_sql() -> dict[str, str]:
     o["events_tumbling_agg"] = TUMBLING_SQL
     o["sessionize_stateful_stream"] = olap.SESSIONIZE_SQL
     o["multimodal_meta"] = MULTIMODAL_META_SQL
+    o["frame_sample_plan"] = FRAME_SAMPLE_SQL
     return o

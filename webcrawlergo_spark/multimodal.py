@@ -124,3 +124,71 @@ SELECT doc_id,
                               -- identical to Spark's md5(encode(text,'utf-8'))
 FROM documents ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Frame-sampling schedule — the decode-free half of video ingest
+# --------------------------------------------------------------------------
+
+N_SAMPLE_FRAMES = 8
+
+
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling schedule from typed video metadata —
+    the planning math a video pipeline runs BEFORE any decoder: which
+    frame indices (and their timestamps) each worker should seek to.
+    The decode itself stays behind decode_blob; this op is pure
+    integer column math, fully oracle-checkable.
+
+    Deterministic synthetic metadata (no real media in testdata):
+    duration_ms = n_chars × 40, fps = 24 + 6·(doc_id mod 2). Per doc,
+    K = min(8, total_frames) uniformly spaced indices
+    idx_k = floor(k·total_frames/K), ts_k = floor(idx_k·1000/fps).
+    Scale shape: one narrow projection + a bounded (≤K) generator per
+    row — no shuffle, no Python.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dur = (F.col("n_chars") * 40).cast("long")
+    fps = (F.lit(24) + (F.col("doc_id") % 2) * 6).cast("long")
+    total = F.floor(dur * fps / F.lit(1000.0)).cast("long")
+    k_n = F.least(F.lit(N_SAMPLE_FRAMES), total)
+    base = docs.select(
+        "doc_id", dur.alias("duration_ms"), fps.alias("fps"), total.alias("total_frames"),
+        k_n.alias("k_n"),
+    ).filter(F.col("total_frames") > 0)
+    out = base.select(
+        "doc_id", "duration_ms", "fps",
+        F.explode(F.sequence(F.lit(0), (F.col("k_n") - 1).cast("int"))).alias("k"),
+        "total_frames", "k_n",
+    )
+    idx = F.floor(F.col("k") * F.col("total_frames") / F.col("k_n")).cast("long")
+    return (
+        out.select(
+            "doc_id", "duration_ms", "fps", F.col("k").cast("int").alias("k"),
+            idx.alias("frame_idx"),
+            F.floor(idx * 1000 / F.col("fps")).cast("long").alias("ts_ms"),
+        )
+        .orderBy("doc_id", "k")
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+         CAST(24 + (doc_id % 2) * 6 AS BIGINT) AS fps,
+         CAST(floor((n_chars * 40) * (24 + (doc_id % 2) * 6) / 1000.0) AS BIGINT) AS total_frames
+  FROM documents),
+b2 AS (
+  SELECT *, CASE WHEN total_frames < {N_SAMPLE_FRAMES} THEN total_frames
+                 ELSE {N_SAMPLE_FRAMES} END AS k_n
+  FROM base WHERE total_frames > 0),
+ex AS (
+  SELECT doc_id, duration_ms, fps, total_frames, k_n,
+         CAST(unnest(range(0, k_n)) AS INTEGER) AS k
+  FROM b2)
+SELECT doc_id, duration_ms, fps, k,
+       CAST(floor(k * total_frames / CAST(k_n AS DOUBLE)) AS BIGINT) AS frame_idx,
+       CAST(floor(CAST(floor(k * total_frames / CAST(k_n AS DOUBLE)) AS BIGINT) * 1000 / CAST(fps AS DOUBLE)) AS BIGINT) AS ts_ms
+FROM ex ORDER BY doc_id, k
+"""
