@@ -1,9 +1,12 @@
 """Benchmark harness. Prints ONE JSON line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...,
+     "queries": {name: sec, ...},        # warm plan (2nd execution)
+     "queries_cold": {name: sec, ...},   # 1st execution incl. planning+codegen
+     "sf": ...,
      "crawl": {urls_per_sec, events, waves, ...},
-     "scaling": {...}}   # when --scaling / SPARK_GRAFT_SCALING=1
+     "crawl_bloom": {...},
+     "scaling": {"2v8": .., "8v32": .., "weak": ..}}  # with --scaling
 
 Two workloads:
 1. Headline relational/training queries at $SPARK_GRAFT_SF_DIR
