@@ -59,3 +59,23 @@ def test_ivf_assignment_is_partial_aggregate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_dedup_family_partial_aggregates(spark):
+    """The dedup/minhash/simhash shapes must show map-side partial
+    aggregation in the physical plan — the property that bounds their
+    shuffle volume to one combined row per key per input partition
+    (BENCH.md's 'map-side combine' claims, enforced)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name, marker in (
+        ("minhash_signatures", "partial_min"),
+        ("simhash", "partial_sum"),
+        ("dedup_exact", "partial_min"),  # min(doc_id) keeper per fp
+    ):
+        plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert marker in plan, (name, plan)

@@ -164,7 +164,39 @@ FROM documents ORDER BY doc_id
 """
 
 
+def token_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram: docs bucketed by whitespace
+    token count in fixed-width bins of 8 — the sequence-length
+    profile a packing/batching stage needs (choose context length,
+    estimate padding waste). One map-side-combining groupBy on a
+    derived int key; the doc text never shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.floor(F.size(F.split(F.col("text"), " ")) / 8).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 8).alias("min_tokens"),
+            (F.col("bucket") * 8 + 7).alias("max_tokens"),
+            "n_docs",
+        )
+        .orderBy("bucket")
+    )
+
+
+TOKEN_BUCKETS_SQL = """
+SELECT bucket, bucket * 8 AS min_tokens, bucket * 8 + 7 AS max_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT CAST(floor(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS bucket
+      FROM documents) t
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "token_length_buckets": token_length_buckets,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
@@ -172,6 +204,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_length_buckets": TOKEN_BUCKETS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SCORE_SQL,
     "token_count": TOKEN_COUNT_SQL,
