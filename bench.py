@@ -209,9 +209,18 @@ def main() -> None:
     crawl_bench(spark, max(10_000, n_pages // 4))
     crawl_bench(spark, max(10_000, n_pages // 4), seen_mode="bloom", bloom_probe_min_seen=0)
     crawl = crawl_bench(spark, n_pages)
-    # the bloom path (incremental per-wave OR-in, exact-confirm) must
-    # hold parity-or-better with exact mode — measured, not assumed
+    # THREE measured legs. crawl_bloom = bloom mode AS SHIPPED: below
+    # the measured crossover gate (CrawlConfig.bloom_probe_min_seen,
+    # tools/bloom_crossover.py) the engine runs the exact join and only
+    # maintains the shards lazily, so at bench corpus sizes this leg
+    # measures the adaptive default, NOT the probe. crawl_bloom_probe
+    # forces the gate open so the sharded cogroup probe + broadcast
+    # confirm path is measured too — both are recorded, neither is
+    # assumed.
     crawl_bloom = crawl_bench(spark, n_pages, seen_mode="bloom")
+    crawl_bloom_probe = crawl_bench(
+        spark, n_pages, seen_mode="bloom", bloom_probe_min_seen=0
+    )
     result = {
         "metric": "frontier URLs processed/sec (dequeue→fetch-sim→dedup→enqueue) + headline query suite",
         "value": round(time.time() - t_start, 2),
@@ -222,6 +231,7 @@ def main() -> None:
         "cpus": CPUS,
         "crawl": crawl,
         "crawl_bloom": crawl_bloom,
+        "crawl_bloom_probe": crawl_bloom_probe,
     }
 
     if do_scaling:

@@ -17,8 +17,12 @@ functions; each op ships a DuckDB oracle twin.
   deterministic hash (md5 of the doc id) — "hash sampling", the
   standard reproducible substitute for bernoulli sampling.
 - domain_mix_weights: per-source corpus share and temperature-scaled
-  mixing weight share^T / Σ share^T (T=0.7 — the standard flattening
-  exponent for domain balancing in LM data recipes).
+  mixing weight share^T / Σ share^T. T=0.5 so the scaling is sqrt():
+  sqrt is IEEE correctly rounded in BOTH engines, where pow() is only
+  1-ulp accurate (JVM Math.pow vs libm) — a 1-ulp divergence can flip
+  round(x, 6) at a 5e-7 boundary and fail the type-exact oracle hash.
+  The repo's portability rule: oracle formulas stick to md5, integer
+  math, division and sqrt.
 - user_event_seq: per-key event sequence via the DISTRIBUTED rank
   (plans/rank.py::with_host_seq — range partition + prefix-sum
   offsets, no per-key single task), oracle-checked against
@@ -32,8 +36,48 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..plans.rank import with_host_seq
 
 SAMPLE_K = 40      # docs kept per language stratum
-MIX_TEMP = 0.7     # domain-balancing temperature
+MIX_TEMP = 0.5     # domain-balancing temperature (sqrt — see note below)
 N_SALT = 16
+
+
+def salted_topk_split(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rk",
+    n_salt: int = N_SALT,
+    salt_on=None,
+) -> tuple[DataFrame, DataFrame]:
+    """(top, overflow): exact top-K per group without a per-group
+    single-task window, plus ALL remaining rows (unranked, original
+    columns) — the shape the crawl's politeness cap consumes (top =
+    this wave's batch, overflow = deferred to the next wave).
+
+    ``salt_on`` is the column whose hash spreads a group's rows over
+    salts (defaults to the first order column). Phase-1 keeps ≤ K per
+    (group, salt) — a superset of the group's true top-K because
+    dropping a row ranked > K within its own salt can never promote
+    it globally; phase-2 ranks the bounded survivor set exactly. A
+    mega-group (25% of the crawl bench's frontier is one host) ranks
+    n_salt-way parallel in phase 1; phase 2 sees ≤ n_salt·K rows per
+    group.
+    """
+    salt_src = salt_on if salt_on is not None else order_cols[0]
+    order = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    pre = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"))
+    w_salt = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    pre = pre.withColumn("_lrk", F.row_number().over(w_salt))
+    cands = pre.filter(F.col("_lrk") <= k)
+    w_group = Window.partitionBy(*group_cols).orderBy(*order)
+    ranked = cands.withColumn(rank_col, F.row_number().over(w_group))
+    top = ranked.filter(F.col(rank_col) <= k).drop("_salt", "_lrk")
+    overflow = (
+        pre.filter(F.col("_lrk") > k)
+        .drop("_salt", "_lrk")
+        .unionByName(ranked.filter(F.col(rank_col) > k).drop("_salt", "_lrk", rank_col))
+    )
+    return top, overflow
 
 
 def salted_topk_per_group(
@@ -45,27 +89,9 @@ def salted_topk_per_group(
     n_salt: int = N_SALT,
     salt_on=None,
 ) -> DataFrame:
-    """Exact top-K per group without a per-group single-task window.
-
-    ``salt_on`` is the column whose hash spreads a group's rows over
-    salts (defaults to the first order column). Phase-1 keeps ≤ K per
-    (group, salt) — a superset of the group's true top-K because
-    dropping a row ranked > K within its own salt can never promote
-    it globally; phase-2 ranks the bounded survivor set exactly.
-    """
-    salt_src = salt_on if salt_on is not None else order_cols[0]
-    order = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
-    pre = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"))
-    w_salt = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
-    cands = pre.withColumn("_lrk", F.row_number().over(w_salt)).filter(
-        F.col("_lrk") <= k
-    )
-    w_group = Window.partitionBy(*group_cols).orderBy(*order)
-    return (
-        cands.withColumn(rank_col, F.row_number().over(w_group))
-        .filter(F.col(rank_col) <= k)
-        .drop("_salt", "_lrk")
-    )
+    """The keep-only-top-K view of salted_topk_split (ranked rows)."""
+    top, _ = salted_topk_split(df, group_cols, order_cols, k, rank_col, n_salt, salt_on)
+    return top
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +130,7 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     share = F.col("n_docs") / F.sum("n_docs").over(w_all)
-    scaled = F.pow(share, F.lit(MIX_TEMP))
+    scaled = F.sqrt(share)  # share^MIX_TEMP with MIX_TEMP=0.5, correctly rounded
     return counts.select(
         "source",
         "n_docs",
@@ -121,7 +147,7 @@ s AS (
          n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS share
   FROM c),
 p AS (
-  SELECT source, n_docs, share, pow(share, {MIX_TEMP}) AS sc FROM s)
+  SELECT source, n_docs, share, sqrt(share) AS sc FROM s)
 SELECT source, n_docs, round(share, 6) AS share,
        round(sc / SUM(sc) OVER (), 6) AS mix_weight
 FROM p ORDER BY source

@@ -216,15 +216,7 @@ def build_bloom_shards(
             {"shard": [shard], "m_bits": [m_bits], "n": [len(pdf)], "bits": [bits.tobytes()]}
         )
 
-    schema = T.StructType(
-        [
-            T.StructField("shard", T.IntegerType()),
-            T.StructField("m_bits", T.LongType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("bits", T.BinaryType()),
-        ]
-    )
-    return hashed.groupBy("_shard").applyInPandas(build, schema)
+    return hashed.groupBy("_shard").applyInPandas(build, BLOOM_SHARDS_SCHEMA)
 
 
 BLOOM_SHARDS_SCHEMA = T.StructType(

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.urlnorm import make_normalize_udf, normalize_expr
 from ..operators.linkextract import extract_links
+from ..operators.sampling import salted_topk_split
 from ..operators.seenset import (
     DEFAULT_BITS_PER_KEY,
     bloom_or_shards,
@@ -443,31 +444,21 @@ class CrawlEngine:
             if n_frontier == 0:
                 break
             # politeness cap (T1): per-host quota, overflow defers.
-            # Two-phase salted top-K: a mega-host (the bench corpus puts
-            # 25% of the frontier on one) would serialize a plain
-            # Window.partitionBy(host) into one straggler task. Phase 1
-            # ranks within (host, salt) — 16-way parallel even for one
-            # host — and keeps each salt-group's top-K (a superset of
-            # the true top-K); phase 2 ranks the ≤16K survivors per host
-            # exactly. Identical selection, bounded partitions.
+            # Two-phase salted top-K (operators/sampling.py::
+            # salted_topk_split — shared with stratified sampling): a
+            # mega-host (the bench corpus puts 25% of the frontier on
+            # one) would serialize a plain Window.partitionBy(host)
+            # into one straggler task; phase 1 ranks within
+            # (host, salt) — n_salt-way parallel even for one host —
+            # phase 2 ranks only the bounded survivors. Identical
+            # selection, bounded partitions.
             if cfg.politeness_max_per_host_per_wave is not None:
                 cap = cfg.politeness_max_per_host_per_wave
                 order = [F.col("parent_rank"), F.col("span_offset"), F.col("link_pos")]
-                n_salt = 16
-                w_salt = Window.partitionBy("host", "_salt").orderBy(*order)
-                pre = frontier.withColumn(
-                    "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("int")
-                ).withColumn("_lseq", F.row_number().over(w_salt))
-                cands = pre.filter(F.col("_lseq") <= cap)
-                w_host = Window.partitionBy("host").orderBy(*order)
-                ranked = cands.withColumn("_hseq", F.row_number().over(w_host))
-                aux = ["_salt", "_lseq", "_hseq"]
-                batch = ranked.filter(F.col("_hseq") <= cap).drop(*aux)
-                deferred = (
-                    pre.filter(F.col("_lseq") > cap)
-                    .drop("_salt", "_lseq")
-                    .unionByName(ranked.filter(F.col("_hseq") > cap).drop(*aux))
+                top, deferred = salted_topk_split(
+                    frontier, ["host"], order, cap, salt_on=F.col("url")
                 )
+                batch = top.drop("rk")
                 n_events = batch.count()
                 n_deferred = n_frontier - n_events
             else:
@@ -556,8 +547,16 @@ class CrawlEngine:
                 # virtual offset (seq-1) × delay from the wave's virtual
                 # base; the wave's virtual duration is its busiest
                 # host's queue drained at one request per delay
-                seqd = with_host_seq(
-                    sim, "host", ["event_rank"], "fetch_seq", n_rows=n_events
+                # one eager materialization carries the wave's max seq
+                # as an Observation metric — the host-seq window runs
+                # exactly once (a separate agg job would re-execute it)
+                obs_vt = Observation()
+                seqd = (
+                    with_host_seq(
+                        sim, "host", ["event_rank"], "fetch_seq", n_rows=n_events
+                    )
+                    .observe(obs_vt, F.max("fetch_seq").alias("mx"))
+                    .localCheckpoint(eager=True)
                 )
                 wave_events = seqd.select(
                     "event_rank", F.lit(wave_id).alias("wave_id"), "url", status_col,
@@ -567,10 +566,7 @@ class CrawlEngine:
                         + (F.col("fetch_seq") - 1) * F.lit(cfg.request_delay_ms)
                     ).cast("long").alias("virtual_ms"),
                 )
-                virtual_base_ms += (
-                    int(seqd.agg(F.max("fetch_seq")).first()[0] or 0)
-                    * cfg.request_delay_ms
-                )
+                virtual_base_ms += int(obs_vt.get["mx"] or 0) * cfg.request_delay_ms
             else:
                 wave_events = sim.select(
                     "event_rank", F.lit(wave_id).alias("wave_id"), "url", status_col,
@@ -775,7 +771,9 @@ class CrawlEngine:
                 bloom_chain = 0
                 if int(obs_bloom.get["overflow"] or 0):
                     # FPR degraded past sizing: one O(seen) rebuild with
-                    # fresh headroom (seen already includes this wave)
+                    # fresh headroom. `seen` does NOT yet include this
+                    # wave at this point (the state merge happens later
+                    # in the loop) — the unionByName below is required
                     per_shard = max(
                         64_000, (n_seen_est + n_new) * 4 // max(cfg.n_shards, 1)
                     )
