@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from webcrawlergo_spark.multimodal import (
     FRAME_SAMPLE_SQL,
     MULTIMODAL_META_SQL,
+    WAV_DECODE_STATS_SQL,
     frame_sample_plan,
     multimodal_meta,
+    wav_decode_stats,
 )
 from webcrawlergo_spark.operators import dedup as dd
 from webcrawlergo_spark.operators import olap
@@ -279,6 +281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_stateful_stream"] = sessionize_stream
     q["multimodal_meta"] = multimodal_meta
     q["frame_sample_plan"] = frame_sample_plan
+    # real audio decode end-to-end: JVM-built WAV container, numpy
+    # RIFF parser in mapInPandas, decoded-PCM md5 vs the oracle's
+    # md5 of the original payload (multimodal.py r4)
+    q["wav_decode_stats"] = wav_decode_stats
     return q
 
 
@@ -427,4 +433,5 @@ def oracle_sql() -> dict[str, str]:
     o["sessionize_stateful_stream"] = olap.SESSIONIZE_SQL
     o["multimodal_meta"] = MULTIMODAL_META_SQL
     o["frame_sample_plan"] = FRAME_SAMPLE_SQL
+    o["wav_decode_stats"] = WAV_DECODE_STATS_SQL
     return o

@@ -208,16 +208,29 @@ def main() -> None:
     # here so the measured legs compare plans, not codegen
     crawl_bench(spark, max(10_000, n_pages // 4))
     crawl_bench(spark, max(10_000, n_pages // 4), seen_mode="bloom", bloom_probe_min_seen=0)
-    crawl = crawl_bench(spark, n_pages)
     # THREE measured legs. crawl_bloom = bloom mode AS SHIPPED: below
     # the measured crossover gate (CrawlConfig.bloom_probe_min_seen,
-    # tools/bloom_crossover.py) the engine runs the exact join and only
-    # maintains the shards lazily, so at bench corpus sizes this leg
-    # measures the adaptive default, NOT the probe. crawl_bloom_probe
-    # forces the gate open so the sharded cogroup probe + broadcast
-    # confirm path is measured too — both are recorded, neither is
-    # assumed.
-    crawl_bloom = crawl_bench(spark, n_pages, seen_mode="bloom")
+    # tools/bloom_crossover.py) the engine runs the exact join with NO
+    # shard state (r4: shards are built once at gate-crossing), so at
+    # bench corpus sizes this leg measures the adaptive default, NOT
+    # the probe. crawl_bloom_probe forces the gate open so the sharded
+    # cogroup probe + broadcast confirm path is measured too — both
+    # are recorded, neither is assumed. The exact/bloom legs are
+    # INTERLEAVED ×3 and the median leg reported: the host shows ±5%
+    # session-ordering drift, larger than the real mode difference
+    # (below the gate the two run the same per-wave plan).
+    exact_legs, bloom_legs = [], []
+    for _rep in range(3):
+        exact_legs.append(crawl_bench(spark, n_pages))
+        bloom_legs.append(crawl_bench(spark, n_pages, seen_mode="bloom"))
+
+    def median_leg(legs: list[dict]) -> dict:
+        leg = sorted(legs, key=lambda r: r["urls_per_sec"])[len(legs) // 2]
+        leg["urls_per_sec_all"] = [r["urls_per_sec"] for r in legs]
+        return leg
+
+    crawl = median_leg(exact_legs)
+    crawl_bloom = median_leg(bloom_legs)
     crawl_bloom_probe = crawl_bench(
         spark, n_pages, seen_mode="bloom", bloom_probe_min_seen=0
     )

@@ -1,0 +1,87 @@
+"""ANN retrieval QUALITY (not just determinism): on data with real
+cluster structure the multi-probe LSH and IVF paths must recover the
+brute-force cosine top-k with high recall.
+
+The driver-oracle checks pin these operators' outputs exactly, but an
+ANN operator can be deterministic and still useless — recall against
+the brute-force twin is the quality metric. The testdata embeddings
+are near-isotropic (top-neighbor cosine ≈ 0.3 ≈ 3σ of noise at
+dim 64), so recall there is information-theoretically data-limited
+(measured and recorded in BENCH.md §ann-recall, not asserted); THIS
+fixture plants 8 clusters (intra-cluster cosine ≈ 0.95) so the
+operators' sublinear search has actual structure to find, and the
+floors assert they find it.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webcrawlergo_spark.operators.similarity import (
+    CENTROID_IDS,
+    DIM,
+    N_QUERIES,
+    TOP_K,
+    ivf_topk_frames,
+    lsh_topk,
+)
+
+N_VECS = 400
+N_CLUSTERS = 8
+NOISE = 0.15
+
+
+def _clustered(seed: int = 5) -> np.ndarray:
+    """8 unit-norm cluster centers; every vector = its center + a
+    small unit-direction perturbation. Ids arranged so the fixed IVF
+    centroid ids (10..80) land in 8 DISTINCT clusters and query ids
+    0..2 in clusters 0..2."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cluster = np.array([i % N_CLUSTERS for i in range(N_VECS)])
+    for j, cid in enumerate(CENTROID_IDS):
+        cluster[cid] = j
+    for q in range(N_QUERIES):
+        cluster[q] = q
+    g = rng.normal(size=(N_VECS, DIM))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    vecs = centers[cluster] + NOISE * g
+    return vecs
+
+
+def _ground_truth(vecs: np.ndarray) -> set[tuple[int, int]]:
+    """Brute-force cosine top-k pairs, mirroring the operators' 6dp
+    rounding + (score desc, neighbor_id asc) tie-break."""
+    norms = np.linalg.norm(vecs, axis=1)
+    out = set()
+    for q in range(N_QUERIES):
+        cos = np.round(vecs @ vecs[q] / (norms * norms[q]), 6)
+        order = sorted(
+            (i for i in range(N_VECS) if i != q), key=lambda i: (-cos[i], i)
+        )
+        out |= {(q, i) for i in order[:TOP_K]}
+    return out
+
+
+def _recall(df, gt) -> float:
+    got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    return len(gt & got) / len(gt)
+
+
+def test_ann_recall_floors_on_clustered_fixture(spark):
+    vecs = _clustered()
+    gt = _ground_truth(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(N_VECS)],
+        "vec_id long, v array<double>",
+    ).cache()
+    # multi-probe LSH: radius 1 (the shipped default) must clear 0.8;
+    # radius 0 (exact bucket) is recorded as strictly ≤ radius 1
+    r1 = _recall(lsh_topk(df, radius=1), gt)
+    r0 = _recall(lsh_topk(df, radius=0), gt)
+    assert r1 >= 0.8, (r0, r1)
+    assert r0 <= r1
+    # IVF with the default 2-cell probe: the query's own cluster is
+    # probe #1, so structured data must clear 0.8 as well
+    ri = _recall(ivf_topk_frames(df), gt)
+    assert ri >= 0.8, ri

@@ -48,6 +48,31 @@ def test_bloom_incremental_multiwave_equals_exact(spark, web, web_dfs, default_r
     )
 
 
+def test_bloom_gate_crossing_midcrawl_equals_exact(spark, web, web_dfs, default_run):
+    """r4: below the probe gate bloom mode carries NO shard state (the
+    r3 per-wave lazy OR-in below the gate was a measured 26% throughput
+    tax for shards the run never probed); the wave n_seen_est crosses
+    the gate builds the shards ONCE from `seen` and the probe + OR-in
+    maintenance take over. The mode switch must be invisible in the
+    results — bit-identical to exact mode."""
+    cfg = CrawlConfig(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        seen_mode="bloom",
+        n_shards=4,
+        bloom_probe_min_seen=5,  # crossed after the first waves of the 60-page web
+    )
+    res = CrawlEngine(spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"], cfg).run()
+    assert res.event_order() == default_run.event_order()
+    assert sorted(r["url"] for r in res.seen.collect()) == sorted(
+        r["url"] for r in default_run.seen.collect()
+    )
+    # non-vacuity: the gate really did open mid-crawl (seen grew past it
+    # after wave 0, so later waves ran the sharded probe path)
+    assert res.seen.count() > 5
+
+
 def test_last_saved_set_on_save(web, default_run):
     """Every URL with a saved page carries last_saved = cfg.now_ts in
     the final registry; URLs never saved keep last_saved NULL."""

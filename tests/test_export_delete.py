@@ -20,8 +20,9 @@ from webcrawlergo_spark.operators.delete import delete_urls_cascade
 from webcrawlergo_spark.operators.export import db2disk, export_paths, write_files
 from webcrawlergo_spark.operators.seenset import (
     CuckooFilter,
-    cuckoo_delete_urls,
-    cuckoo_insert_urls,
+    build_cuckoo_shards,
+    cuckoo_delete_shards,
+    cuckoo_insert_shards,
     dedup_new_urls,
 )
 
@@ -88,8 +89,11 @@ def test_delete_cascade_and_reseen(spark):
         [(i * 10 + k, i) for i in range(10) for k in range(2)], "id long, url_id long"
     )
     seen = urls.select("url")
+    cuckoo_df = build_cuckoo_shards(seen, n_shards=4)
     targets = urls.filter(F.col("id") % 3 == 0)
-    out = delete_urls_cascade(urls, pages, targets, seen=seen)
+    out = delete_urls_cascade(
+        urls, pages, targets, seen=seen, cuckoo_df=cuckoo_df, n_shards=4
+    )
     assert out["urls"].count() == 6
     assert out["pages"].count() == 12  # cascade dropped 4 urls × 2 pages
     kept_ids = {r["id"] for r in out["urls"].collect()}
@@ -97,26 +101,72 @@ def test_delete_cascade_and_reseen(spark):
     assert {r["url_id"] for r in out["pages"].collect()} == kept_ids
     # deleted URLs left the seen set → re-discoverable
     assert out["seen"].count() == 6
+    # ... and left the approximate tier too (T4: a probe of the deleted
+    # URLs against the updated shard table reports them unseen)
+    deleted = seen.join(out["seen"], "url", "left_anti")
+    re_new = dedup_new_urls(
+        deleted, out["seen"], cuckoo_df=out["cuckoo"], n_shards=4
+    )
+    assert re_new.count() == 4
 
 
 def test_cuckoo_dedup_equals_exact_and_supports_delete(spark):
+    """X4 cuckoo tier, r4 executor-side: the shard table is a
+    DataFrame, probe/delete are cogrouped jobs, the driver holds no
+    filter state — and the dedup result stays bit-identical to the
+    exact anti-join, including after deletes (the capability bloom
+    lacks)."""
+    from pyspark.sql import functions as SF
+
     all_urls = [f"https://h.test/p{i}" for i in range(500)]
     seen_urls = all_urls[:300]
-    cf = CuckooFilter(n_buckets=1024)
     seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
-    assert cuckoo_insert_urls(cf, seen) == 0
+    cuckoo_df = build_cuckoo_shards(seen, n_shards=4).localCheckpoint(eager=True)
+    # every key placed: no failed inserts → negatives are exact
+    assert cuckoo_df.agg(SF.max("n_fail")).collect()[0][0] == 0
 
     cands = spark.createDataFrame([(u,) for u in all_urls], "url string")
     exact = sorted(r["url"] for r in dedup_new_urls(cands, seen).collect())
-    viac = sorted(r["url"] for r in dedup_new_urls(cands, seen, cuckoo=cf).collect())
+    viac = sorted(
+        r["url"]
+        for r in dedup_new_urls(cands, seen, cuckoo_df=cuckoo_df, n_shards=4).collect()
+    )
     assert exact == viac == sorted(all_urls[300:])
 
     # S9: delete 50 previously-inserted keys from registry AND filter
     victims = spark.createDataFrame([(u,) for u in seen_urls[:50]], "url string")
-    assert cuckoo_delete_urls(cf, victims) == 50
+    cuckoo2 = cuckoo_delete_shards(cuckoo_df, victims, n_shards=4).localCheckpoint(
+        eager=True
+    )
+    assert cuckoo2.agg(SF.sum("n")).collect()[0][0] == 250  # 300 - 50 found+removed
     seen2 = seen.join(victims, "url", "left_anti")
-    after = sorted(r["url"] for r in dedup_new_urls(cands, seen2, cuckoo=cf).collect())
+    after = sorted(
+        r["url"]
+        for r in dedup_new_urls(cands, seen2, cuckoo_df=cuckoo2, n_shards=4).collect()
+    )
     assert after == sorted(all_urls[300:] + seen_urls[:50])
+
+
+def test_cuckoo_incremental_insert_shards(spark):
+    """Wave-sized incremental inserts (the cogrouped maintenance path)
+    keep the dedup result bit-identical to exact, with zero failed
+    inserts and an accurate key count."""
+    all_urls = [f"https://h.test/q{i}" for i in range(400)]
+    s1 = spark.createDataFrame([(u,) for u in all_urls[:200]], "url string")
+    s2 = spark.createDataFrame([(u,) for u in all_urls[200:300]], "url string")
+    cuckoo_df = build_cuckoo_shards(s1, n_shards=4)
+    cuckoo_df = cuckoo_insert_shards(cuckoo_df, s2, n_shards=4).localCheckpoint(
+        eager=True
+    )
+    assert cuckoo_df.agg(F.max("n_fail")).collect()[0][0] == 0
+    assert cuckoo_df.agg(F.sum("n")).collect()[0][0] == 300
+    seen = s1.unionByName(s2)
+    cands = spark.createDataFrame([(u,) for u in all_urls], "url string")
+    got = sorted(
+        r["url"]
+        for r in dedup_new_urls(cands, seen, cuckoo_df=cuckoo_df, n_shards=4).collect()
+    )
+    assert got == sorted(all_urls[300:])
 
 
 def test_cuckoo_no_false_negatives_for_inserted():

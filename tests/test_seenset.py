@@ -93,6 +93,32 @@ def test_bloom_or_shards_incremental_bit_equality(spark):
     assert flagged.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_confirm_broadcast_gate_rows_and_bytes(spark):
+    """The two-step broadcast confirm engages only when the maybe set
+    is small in ROWS and BYTES (ADVICE r3: a row-only cap is unbounded
+    in bytes for long URLs). Either budget exceeded → the plan falls
+    back to the hintless sort-merge anti-join; result identical."""
+    seen = spark.range(500).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    cand = (
+        spark.range(400, 900)
+        .select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+        .withColumn("maybe", F.lit(True))
+    )
+    want = [f"u{i}" for i in range(500, 900)]
+
+    def run(**kw):
+        df = dedup_new_urls(cand, seen, maybe_col="maybe", n_maybe=500, **kw)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        return sorted(r["url"] for r in df.collect()), "ResolvedHint" in analyzed
+
+    rows, hinted = run(maybe_bytes=500 * 8)
+    assert rows == want and hinted  # both budgets fit → broadcast confirm
+    rows, hinted = run(maybe_bytes=500 * 8, confirm_broadcast_max_bytes=100)
+    assert rows == want and not hinted  # byte budget exceeded → sort-merge
+    rows, hinted = run(maybe_bytes=500 * 8, confirm_broadcast_max=10)
+    assert rows == want and not hinted  # row budget exceeded → sort-merge
+
+
 def test_cuckoo_insert_contains_delete():
     rng = np.random.default_rng(1)
     n = 3000

@@ -1,13 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched processing plumbing.
 
-Policy (per the build brief): the decode libraries (PIL/librosa/ffmpeg)
-are not in this container, so the *decode* step is a clearly-marked
-stub — either ``NotImplementedError`` (strict mode) or a deterministic
-fake feature vector derived from the bytes (test mode). Everything
-Spark-side is real and tested: binary column construction, metadata
-struct schema, ``mapInPandas`` batch iteration, partitioning, and the
-output schema contract.
+Policy (per the build brief): the image/video decode libraries
+(PIL/ffmpeg) are not in this container, so THOSE decode steps are
+clearly-marked stubs — ``NotImplementedError`` (strict mode) or a
+deterministic fake feature vector (test mode). AUDIO decode is REAL
+since r4: ``decode_blob`` contains a pure-numpy RIFF/WAVE PCM parser
+(8/16-bit, mono/stereo — no external library needed), exercised
+end-to-end by ``wav_decode_stats``: the WAV container is built
+JVM-side (header length fields as little-endian byte math in column
+expressions), parsed executor-side in mapInPandas, and the decoded
+PCM's md5 must round-trip to DuckDB's md5 of the original payload.
+Everything Spark-side is real and tested: binary column construction,
+metadata struct schema, ``mapInPandas`` batch iteration, partitioning,
+and the output schema contract.
 
 The testdata carries no real media, so ``attach_blob`` lifts the
 documents table into the multimodal shape deterministically
@@ -17,8 +23,11 @@ DuckDB SQL for the oracle — ``encode()``/``octet_length``).
 
 from __future__ import annotations
 
+import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -58,13 +67,94 @@ def attach_blob(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_blob(blob: bytes, media_type: str):  # pragma: no cover - strict stub
-    """The real decoder hook (image decode / audio resample / frame
-    sampling). Deliberately unimplemented in this container."""
+def decode_blob(blob: bytes, media_type: str):
+    """The decoder hook. REAL for WAV audio (pure-numpy RIFF/WAVE PCM
+    parser — 8/16-bit, mono/stereo, chunk-walking with word
+    alignment); still a deliberate, documented stub for image/video
+    (PIL/ffmpeg are not in this container).
+
+    Returns ``(samples, sample_rate)`` — samples shaped
+    ``(n_frames, n_channels)``, dtype uint8 (8-bit PCM, unsigned per
+    the WAV spec) or int16 (16-bit little-endian).
+    """
+    if media_type in ("audio/wav", "audio/x-wav") or blob[:4] == b"RIFF":
+        return _decode_wav(blob)
     raise NotImplementedError(
-        "media decode requires PIL/librosa/ffmpeg, not present in this image; "
+        "image/video decode requires PIL/ffmpeg, not present in this image; "
         "use fake_features for the deterministic test path"
     )
+
+
+def _decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM WAV supported (format={audio_format})")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        raise NotImplementedError(f"unsupported bit depth {bits}")
+    return samples.reshape(-1, max(n_channels, 1)), sample_rate
+
+
+def wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of ``_decode_wav`` for tests/synthetic media: uint8 →
+    8-bit PCM, int16 → 16-bit PCM; shape (n,) or (n, channels)."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    bits = 8 if arr.dtype == np.uint8 else 16
+    if bits == 16:
+        arr = arr.astype("<i2")
+    n_ch = arr.shape[1]
+    data = arr.tobytes()
+    block = n_ch * bits // 8
+    hdr = b"WAVEfmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_ch, sample_rate, sample_rate * block, block, bits
+    )
+    # RIFF chunk size = everything after this field: hdr (includes
+    # "WAVE" + fmt chunk) + "data" header (8) + payload
+    return (
+        b"RIFF"
+        + struct.pack("<I", len(hdr) + 8 + len(data))
+        + hdr
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_features(samples: np.ndarray, dim: int = FEAT_DIM) -> list[float]:
+    """Decoded-audio features: mono-mix, normalize to [-1, 1], RMS per
+    ``dim`` near-equal windows — the real-decode twin of
+    ``fake_features``, rounded 6dp for cross-process stability."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr.mean(axis=1)
+    if samples.dtype == np.uint8:
+        arr = (arr - 128.0) / 128.0
+    else:
+        arr = arr / 32768.0
+    out = []
+    for chunk in np.array_split(arr, dim):
+        out.append(round(float(np.sqrt(np.mean(chunk**2))) if len(chunk) else 0.0, 6))
+    return out
 
 
 def fake_features(blob: bytes, dim: int = FEAT_DIM) -> list[float]:
@@ -124,6 +214,123 @@ SELECT doc_id,
                               -- identical to Spark's md5(encode(text,'utf-8'))
 FROM documents ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Real audio decode path (r4): JVM-built WAV container → numpy parser
+# --------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def _le_bytes(col, n: int):
+    """Little-endian byte encoding of an integer column — the header
+    length fields of a binary container, as pure column expressions
+    (one unhex'd byte per position; everything whole-stage codegen)."""
+    return F.concat(
+        *[
+            F.unhex(
+                F.format_string(
+                    "%02X",
+                    F.shiftright(col.cast("long"), 8 * i).bitwiseAND(F.lit(255)).cast("int"),
+                )
+            )
+            for i in range(n)
+        ]
+    )
+
+
+# constant mid-header for 8-bit PCM mono @ WAV_RATE: fmt chunk + "data"
+_WAV_HDR_CONST = b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE, 1, 8) + b"data"
+
+
+def wav_blob_expr(data):
+    """A REAL WAV container (8-bit PCM mono @ 8 kHz) around a binary
+    payload column, built entirely JVM-side: only the two length
+    fields vary per row (little-endian byte math above); the rest is
+    a binary literal."""
+    n = F.octet_length(data).cast("long")
+    return F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(n + F.lit(36), 4),
+        F.lit(_WAV_HDR_CONST),
+        _le_bytes(n, 4),
+        data,
+    )
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingest end-to-end, oracle-checked: build a real WAV
+    container per document (payload = the doc's utf-8 text bytes),
+    parse it with the pure-numpy RIFF decoder inside mapInPandas, and
+    emit the parsed header facts plus the md5 of the DECODED PCM.
+    The md5 must equal DuckDB's md5 over the original text column —
+    the decoder provably walks the container and recovers the payload
+    bit-for-bit (not a fake). Per-blob Python is inherent to media
+    decode; it stays Arrow-batched and partition-parallel, exactly the
+    shape a PIL/ffmpeg decode would use."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", wav_blob_expr(F.encode(F.col("text"), "utf-8")).alias("blob")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                samples, rate = decode_blob(bytes(blob), "audio/wav")
+                recs.append(
+                    (
+                        doc_id,
+                        rate,
+                        samples.shape[1],
+                        samples.shape[0],
+                        hashlib.md5(samples.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "sample_rate", "n_channels", "n_samples", "payload_md5"]
+            )
+
+    return blobs.repartition("doc_id").mapInPandas(run, WAV_STATS_SCHEMA).orderBy("doc_id")
+
+
+WAV_DECODE_STATS_SQL = f"""
+SELECT doc_id,
+       {WAV_RATE} AS sample_rate,
+       1 AS n_channels,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       md5(text) AS payload_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def audio_features(blobs: DataFrame) -> DataFrame:
+    """Real-decode feature extraction: (doc_id, blob WAV) → RMS-window
+    features via the numpy parser — the production shape of
+    ``extract_features`` with an actual decoder in the kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nb = [], []
+            for blob in pdf["blob"]:
+                samples, _rate = decode_blob(bytes(blob), "audio/wav")
+                feats.append(wav_features(samples))
+                nb.append(len(blob))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_bytes": nb, "feat": feats})
+
+    return blobs.select("doc_id", "blob").repartition("doc_id").mapInPandas(run, FEATURE_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .seenset import CuckooFilter, cuckoo_delete_urls
+from .seenset import cuckoo_delete_shards
 
 
 def delete_urls_cascade(
@@ -26,11 +26,15 @@ def delete_urls_cascade(
     pages: DataFrame,
     targets: DataFrame,
     seen: DataFrame | None = None,
-    cuckoo: CuckooFilter | None = None,
+    cuckoo_df: DataFrame | None = None,
+    n_shards: int = 16,
 ) -> dict[str, DataFrame]:
     """Delete ``targets`` (a df with either ``id`` or ``url``) from the
     registry, cascading to pages; optionally maintain the seen set and
-    its deletable cuckoo tier. Returns the new state tables."""
+    its deletable cuckoo tier (``cuckoo_df``, the executor-side shard
+    table — the updated table is returned under ``"cuckoo"``; no
+    driver-resident filter state anywhere). Returns the new state
+    tables."""
     if "id" in targets.columns and "id" in urls.columns:
         victims = urls.join(targets.select("id"), "id", "left_semi")
     else:
@@ -46,8 +50,11 @@ def delete_urls_cascade(
     }
     if seen is not None:
         out["seen"] = seen.join(victims.select("url"), "url", "left_anti")
-        if cuckoo is not None:
+        if cuckoo_df is not None:
             # forget the keys in the approximate tier too — only ever
-            # previously-inserted keys (they came from `seen`)
-            cuckoo_delete_urls(cuckoo, victims.select("url"))
+            # previously-inserted keys (they came from `seen`); one
+            # cogrouped job, each task touching ONE shard's table
+            out["cuckoo"] = cuckoo_delete_shards(
+                cuckoo_df, victims.select("url"), n_shards=n_shards
+            )
     return out

@@ -26,12 +26,20 @@ whole-set transfer is the shard-table shuffle itself, which spreads
 1/n_shards per task.)
 
 The cuckoo tier handles what bloom cannot: deletion. It backs the
-S9 delete / T4 resurrection path (cuckoo_insert_urls /
-cuckoo_delete_urls + the ``cuckoo=`` probe in dedup_new_urls): after
-a registry delete the approximate tier forgets the keys too, where a
-bloom filter would have to be rebuilt from the exact set.
-Fingerprint/bucket math follows the standard partial-key
-construction (Fan et al., CoNEXT'14 public paper).
+S9 delete / T4 resurrection path (build_cuckoo_shards /
+cuckoo_insert_shards / cuckoo_delete_shards + the ``cuckoo_df=``
+probe in dedup_new_urls): after a registry delete the approximate
+tier forgets the keys too, where a bloom filter would have to be
+rebuilt from the exact set. Since r4 the cuckoo tier is FULLY
+EXECUTOR-SIDE like the bloom tier — the fingerprint tables live in a
+(shard, n_buckets, n, n_fail, table) DataFrame, probe/insert/delete
+are cogrouped applyInPandas jobs where each task holds exactly ONE
+shard's table, and the driver holds no filter state at all (the r3
+tier was a driver-resident numpy table broadcast whole to every
+executor, with per-call collect()s for maintenance — the same
+pattern the bloom tier escaped in r3). Fingerprint/bucket math
+follows the standard partial-key construction (Fan et al., CoNEXT'14
+public paper); the per-shard kernel is the numpy CuckooFilter class.
 """
 
 from __future__ import annotations
@@ -334,23 +342,195 @@ def bloom_or_shards(
     )
 
 
-def cuckoo_maybe_seen(
-    candidates: DataFrame, cuckoo: CuckooFilter, url_col: str = "url", n_shards: int = 16
+CUCKOO_SHARDS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n_buckets", T.LongType()),
+        T.StructField("n", T.LongType()),
+        # cumulative failed inserts: a key the kick chain couldn't
+        # place is NOT in the filter, so a probe on it could false-
+        # negative — callers must treat max(n_fail) > 0 as "resize and
+        # rebuild" (observable as a metric, same as bloom overflow)
+        T.StructField("n_fail", T.LongType()),
+        T.StructField("table", T.BinaryType()),
+    ]
+)
+
+
+def _cuckoo_buckets_for(per_shard: int) -> int:
+    """Bucket count for a shard expected to hold ``per_shard`` keys:
+    4-slot buckets at ≤84% design load (the partial-key construction's
+    safe region — past ~95% kick chains start failing)."""
+    return max(256, per_shard // (CuckooFilter.SLOTS * 84 // 100) + 1)
+
+
+def build_cuckoo_shards(
+    urls: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    expected_per_shard: int | None = None,
+    growth: int = 2,
 ) -> DataFrame:
-    """Add ``maybe_seen`` via a broadcast cuckoo probe. Negatives are
-    exact (every insert is checked) as long as the filter never
-    overflowed; positives still need the exact confirm."""
-    spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast((cuckoo.n_buckets, cuckoo.to_bytes()))
+    """urls → (shard, n_buckets, n, n_fail, table), one row per shard,
+    built in parallel with applyInPandas — the deletable twin of
+    build_bloom_shards. ``growth`` sizes headroom so incremental
+    inserts (cuckoo_insert_shards) don't immediately overflow. Same
+    scale rule as bloom: the build delivers ONE shard's key hashes to
+    one task; pick n_shards so that stays task-sized."""
+    hashed = with_hashes(urls.select(url_col), url_col, n_shards)
+    if expected_per_shard is None:
+        total = urls.count()
+        per_shard = max(1024, (total // max(n_shards, 1)) * growth)
+    else:
+        per_shard = expected_per_shard
+    n_buckets = _cuckoo_buckets_for(per_shard)
 
-    @F.pandas_udf(T.BooleanType())
-    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        n_buckets, blob = bc.value
-        cf = CuckooFilter.from_bytes(blob, n_buckets)
-        return pd.Series(cf.contains_many(h1.to_numpy(np.uint64), h2.to_numpy(np.uint64)))
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+        cf = CuckooFilter(n_buckets)
+        fails = cf.insert_many(
+            pdf["_h1"].to_numpy(np.uint64), pdf["_h2"].to_numpy(np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_buckets": [n_buckets],
+                "n": [len(pdf)],
+                "n_fail": [fails],
+                "table": [cf.to_bytes()],
+            }
+        )
 
-    hashed = with_hashes(candidates, url_col, n_shards)
-    return hashed.withColumn("maybe_seen", probe("_h1", "_h2")).drop("_h1", "_h2", "_shard")
+    return hashed.groupBy("_shard").applyInPandas(build, CUCKOO_SHARDS_SCHEMA)
+
+
+def cuckoo_probe_sharded(
+    candidates: DataFrame,
+    cuckoo_df: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    probe_salt: int = 2,
+) -> DataFrame:
+    """Add ``maybe_seen`` via the shard-partitioned executor-side
+    cuckoo probe — identical cogroup shape to bloom_probe_sharded
+    (each task holds exactly ONE shard's fingerprint table; the
+    driver holds nothing). Negatives are exact as long as no insert
+    ever failed (track max(n_fail)); positives still need the exact
+    confirm."""
+    out_fields = list(candidates.schema.fields)
+    out_cols = [f.name for f in out_fields]
+    out_schema = T.StructType(out_fields + [T.StructField("maybe_seen", T.BooleanType())])
+    hashed = with_hashes(candidates, url_col, n_shards).withColumn(
+        "_salt", F.pmod(F.col("_h2"), F.lit(probe_salt)).cast("int")
+    )
+    blob_side = cuckoo_df.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(probe_salt)]))
+    )
+
+    def probe(cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand):
+            return pd.DataFrame(columns=out_cols + ["maybe_seen"])
+        if not len(shard):
+            maybe = np.zeros(len(cand), dtype=bool)
+        else:
+            cf = CuckooFilter.from_bytes(
+                shard["table"].iloc[0], int(shard["n_buckets"].iloc[0])
+            )
+            maybe = cf.contains_many(
+                cand["_h1"].to_numpy(np.uint64), cand["_h2"].to_numpy(np.uint64)
+            )
+        out = cand[out_cols].copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        hashed.groupBy("_shard", "_salt")
+        .cogroup(blob_side.groupBy("shard", "_salt"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def _cuckoo_apply_shards(
+    cuckoo_df: DataFrame,
+    urls: DataFrame,
+    op: str,
+    url_col: str,
+    n_shards: int,
+    default_n_buckets: int,
+) -> DataFrame:
+    """Shared cogrouped maintenance: each task mutates ONE shard's
+    fingerprint table with its wave of keys (hashing is JVM-side; the
+    driver never sees a table). Shards with no keys pass through."""
+    keys = with_hashes(urls.select(url_col), url_col, n_shards).select(
+        "_shard", "_h1", "_h2"
+    )
+
+    def apply(new: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if not len(shard):
+            sid = int(new["_shard"].iloc[0])
+            n_buckets, n, n_fail = default_n_buckets, 0, 0
+            cf = CuckooFilter(n_buckets)
+        else:
+            sid = int(shard["shard"].iloc[0])
+            n_buckets = int(shard["n_buckets"].iloc[0])
+            n = int(shard["n"].iloc[0])
+            n_fail = int(shard["n_fail"].iloc[0])
+            cf = CuckooFilter.from_bytes(shard["table"].iloc[0], n_buckets)
+        if len(new):
+            h1 = new["_h1"].to_numpy(np.uint64)
+            h2 = new["_h2"].to_numpy(np.uint64)
+            if op == "insert":
+                n_fail += cf.insert_many(h1, h2)
+                n += len(new)
+            else:
+                n -= int(cf.delete_many(h1, h2).sum())
+        return pd.DataFrame(
+            {
+                "shard": [sid],
+                "n_buckets": [n_buckets],
+                "n": [n],
+                "n_fail": [n_fail],
+                "table": [cf.to_bytes()],
+            }
+        )
+
+    return (
+        keys.groupBy("_shard")
+        .cogroup(cuckoo_df.groupBy("shard"))
+        .applyInPandas(apply, CUCKOO_SHARDS_SCHEMA)
+    )
+
+
+def cuckoo_insert_shards(
+    cuckoo_df: DataFrame,
+    urls: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    default_n_buckets: int = 16_384,
+) -> DataFrame:
+    """Next shard table with ``urls`` inserted — O(new keys + table
+    bytes), all executor-side. Watch max(n_fail): >0 means the filter
+    is past capacity and must be rebuilt larger (a failed insert is a
+    potential false negative)."""
+    return _cuckoo_apply_shards(
+        cuckoo_df, urls, "insert", url_col, n_shards, default_n_buckets
+    )
+
+
+def cuckoo_delete_shards(
+    cuckoo_df: DataFrame,
+    urls: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    default_n_buckets: int = 16_384,
+) -> DataFrame:
+    """Next shard table with ``urls`` deleted (S9 delete / T4
+    resurrection — the capability bloom lacks). Only ever delete
+    previously-inserted keys: removing a never-inserted key can evict
+    a colliding fingerprint and create a false negative."""
+    return _cuckoo_apply_shards(
+        cuckoo_df, urls, "delete", url_col, n_shards, default_n_buckets
+    )
 
 
 def dedup_new_urls(
@@ -359,10 +539,12 @@ def dedup_new_urls(
     url_col: str = "url",
     bloom_df: DataFrame | None = None,
     n_shards: int = 16,
-    cuckoo: CuckooFilter | None = None,
+    cuckoo_df: DataFrame | None = None,
     maybe_col: str | None = None,
     n_maybe: int | None = None,
+    maybe_bytes: int | None = None,
     confirm_broadcast_max: int = 2_000_000,
+    confirm_broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """THE dedup operator (J2): candidates not in the seen set.
 
@@ -381,20 +563,34 @@ def dedup_new_urls(
     ``maybe ▷ broadcast(hits)``. That removes the per-wave
     shuffle+sort of the (unbounded, crawl-lifetime) seen set that the
     plain sort-merge anti-join pays; above the threshold it falls
-    back to the sort-merge anti-join."""
-    if bloom_df is None and cuckoo is None and maybe_col is None:
+    back to the sort-merge anti-join.
+
+    The broadcast gate is rows AND bytes (ADVICE r3): 2M short URLs
+    broadcast fine, but long URLs make a row cap unbounded in bytes —
+    when the caller also observed the maybe-set's total URL bytes
+    (``maybe_bytes``, e.g. a sum(length(url)) metric on the same
+    upstream action that counted n_maybe), the broadcast path
+    additionally requires it under ``confirm_broadcast_max_bytes``
+    (default 64 MB — the broadcast is replicated per executor, so
+    budget it like spark.sql.autoBroadcastJoinThreshold, not like
+    heap)."""
+    if bloom_df is None and cuckoo_df is None and maybe_col is None:
         return candidates.join(seen_urls.select(url_col), url_col, "left_anti")
     if maybe_col is not None:
         # the probe already ran (e.g. inside an upstream checkpointed
         # stage, so the two branches below don't re-execute it)
         flagged = candidates.withColumnRenamed(maybe_col, "maybe_seen")
-    elif cuckoo is not None:
-        flagged = cuckoo_maybe_seen(candidates, cuckoo, url_col, n_shards)
+    elif cuckoo_df is not None:
+        flagged = cuckoo_probe_sharded(candidates, cuckoo_df, url_col, n_shards)
     else:
         flagged = bloom_probe_sharded(candidates, bloom_df, url_col, n_shards)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    if n_maybe is not None and n_maybe <= confirm_broadcast_max:
+    if (
+        n_maybe is not None
+        and n_maybe <= confirm_broadcast_max
+        and (maybe_bytes is None or maybe_bytes <= confirm_broadcast_max_bytes)
+    ):
         hits = seen_urls.select(url_col).join(
             F.broadcast(maybe.select(url_col)), url_col, "left_semi"
         )
@@ -402,29 +598,3 @@ def dedup_new_urls(
     else:
         confirmed_new = maybe.join(seen_urls.select(url_col), url_col, "left_anti")
     return definite_new.unionByName(confirmed_new)
-
-
-def cuckoo_insert_urls(cuckoo: CuckooFilter, urls: DataFrame, url_col: str = "url") -> int:
-    """Insert a (wave-sized) URL set into the resident cuckoo filter.
-    Hashes are computed JVM-side; only (h1, h2) pairs reach Python.
-    Returns the number of failed inserts (0 unless the filter is at
-    capacity — callers must treat >0 as 'resize and rebuild')."""
-    rows = with_hashes(urls.select(url_col), url_col).select("_h1", "_h2").collect()
-    if not rows:
-        return 0
-    h1 = np.array([r["_h1"] for r in rows], dtype=np.int64).astype(np.uint64)
-    h2 = np.array([r["_h2"] for r in rows], dtype=np.int64).astype(np.uint64)
-    return cuckoo.insert_many(h1, h2)
-
-
-def cuckoo_delete_urls(cuckoo: CuckooFilter, urls: DataFrame, url_col: str = "url") -> int:
-    """Remove a URL set from the filter (S9 delete / T4 resurrection).
-    Only ever call with previously-inserted keys — deleting a key that
-    was never inserted can evict a colliding fingerprint and create
-    false negatives. Returns how many were found."""
-    rows = with_hashes(urls.select(url_col), url_col).select("_h1", "_h2").collect()
-    if not rows:
-        return 0
-    h1 = np.array([r["_h1"] for r in rows], dtype=np.int64).astype(np.uint64)
-    h2 = np.array([r["_h2"] for r in rows], dtype=np.int64).astype(np.uint64)
-    return int(cuckoo.delete_many(h1, h2).sum())

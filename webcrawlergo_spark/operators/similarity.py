@@ -131,15 +131,48 @@ SELECT vec_id, bucket FROM buckets ORDER BY vec_id
 """
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket,
-    then exact cosine re-rank. At scale: shuffle once on bucket,
-    per-bucket candidate scan instead of full corpus."""
-    vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("v")).cast("int"))
-    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+MULTIPROBE_RADIUS = 1
+
+
+def _probe_masks(radius: int) -> list[int]:
+    """Hamming-ball XOR masks for multi-probe LSH: radius 0 = exact
+    bucket only, 1 adds the N_PLANES single-bit flips, 2 the two-bit
+    flips (Lv et al., VLDB'07 multi-probe idea — probe the buckets a
+    near neighbor most likely fell into instead of building more
+    tables)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << p for p in range(N_PLANES)]
+    if radius >= 2:
+        masks += [(1 << a) | (1 << b) for a in range(N_PLANES) for b in range(a + 1, N_PLANES)]
+    return masks
+
+
+def lsh_topk(vecs: DataFrame, n_queries: int = N_QUERIES, radius: int = MULTIPROBE_RADIUS) -> DataFrame:
+    """Multi-probe LSH ANN over a (vec_id, v) frame: each query probes
+    its own bucket plus every bucket within Hamming radius ``radius``
+    of its signature, exact cosine re-rank inside the probed buckets.
+
+    Scale shape: the probe expansion happens on the QUERY side (tiny —
+    |queries| × |masks| rows, broadcast), so the corpus join stays a
+    plain equi-join on bucket — one shuffle/partition key at 10^10
+    rows, identical to the single-probe plan. A corpus vector matches
+    at most one mask per query (probe buckets are distinct), so no
+    dedup pass is needed."""
+    vecs = vecs.withColumn("bucket", _bucket_col(F.col("v")).cast("int"))
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
-    cand = vecs.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")))
+    masks = vecs.sparkSession.createDataFrame(
+        [(m,) for m in _probe_masks(radius)], "mask int"
+    )
+    probes = q.crossJoin(masks).select(
+        "query_id", "qv", F.col("qb").bitwiseXOR(F.col("mask")).alias("pb")
+    )
+    cand = vecs.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("query_id")),
+    )
     cos = _dot(F.col("qv"), F.col("v")) / (
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
     )
@@ -152,18 +185,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: multi-probe LSH (radius 1) + exact cosine re-rank.
+    At scale: one equi-join shuffle on bucket, per-bucket candidate
+    scan instead of full corpus."""
+    return lsh_topk(_vecs(spark, sf_dir))
+
+
 ANN_TOPK_SQL = f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 {_BUCKET_SQL},
 q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
       FROM vecs JOIN buckets USING (vec_id) WHERE vec_id < {N_QUERIES}),
+masks AS (SELECT unnest([{", ".join(str(m) for m in _probe_masks(MULTIPROBE_RADIUS))}]) AS mask),
+probes AS (
+  SELECT query_id, qv, CAST(xor(qb, mask) AS INTEGER) AS pb
+  FROM q CROSS JOIN masks),
 scored AS (
-  SELECT q.query_id, vecs.vec_id AS neighbor_id,
-         round(list_dot_product(q.qv, vecs.v)
-               / (sqrt(list_dot_product(q.qv, q.qv))
+  SELECT p.query_id, vecs.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, vecs.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
                   * sqrt(list_dot_product(vecs.v, vecs.v))), 6) AS score
-  FROM vecs JOIN buckets USING (vec_id) JOIN q
-    ON buckets.bucket = q.qb AND vecs.vec_id <> q.query_id),
+  FROM vecs JOIN buckets USING (vec_id) JOIN probes p
+    ON buckets.bucket = p.pb AND vecs.vec_id <> p.query_id),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
@@ -259,7 +303,11 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: each query probes its N_PROBE nearest cells, exact
     cosine re-rank inside the probed inverted lists only."""
-    vecs = _vecs(spark, sf_dir)
+    return ivf_topk_frames(_vecs(spark, sf_dir))
+
+
+def ivf_topk_frames(vecs: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
+    """IVF search over a (vec_id, v) frame (see ivf_topk)."""
     cents, assign = _cells(vecs)
     qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -273,7 +321,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
     probes = (
         qaff.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE)
+        .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "cell")
     )
     cand = (

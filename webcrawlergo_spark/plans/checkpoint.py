@@ -114,6 +114,33 @@ class CheckpointStore:
         self._gc(keep_wave=wave_id, protect=entry["append_tables"])
         return entry
 
+    def amend(self, table: str, df: DataFrame, tag: str) -> dict:
+        """Atomically repoint ONE snapshot table of the current
+        manifest at freshly-written data — the post-commit maintenance
+        path (e.g. a bloom overflow rebuild detected on the commit's
+        own Observation). Same write-new-then-pointer-flip discipline
+        as commit: a crash mid-amend leaves the committed state in
+        force, a crash after the flip resumes from the rebuilt data —
+        the rebuild work is never lost and never half-visible
+        (ADVICE r3: the in-memory-only rebuild evaporated on kill).
+
+        ``tag`` names the snapshot dir (convention: ``rebuild=<wave>``
+        so GC ages it with its wave's other snapshots).
+        """
+        m = self.latest()
+        if m is None:
+            raise ValueError("amend before any commit")
+        path = os.path.join(self.root, table, tag)
+        df.write.mode("overwrite").parquet(path)
+        m["tables"][table] = path
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)
+        with open(os.path.join(self.root, f"_manifest-{m['wave_id']}.json"), "w") as f:
+            json.dump(m, f)
+        return m
+
     def load(self, spark: SparkSession, table: str) -> DataFrame | None:
         m = self.latest()
         if m is None:
@@ -134,12 +161,21 @@ class CheckpointStore:
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
-            waves = sorted(
-                (int(d.split("=")[1]) for d in os.listdir(tdir) if d.startswith("wave=")),
-            )
-            for w in waves[:-keep_last]:
-                path = os.path.join(tdir, f"wave={w}")
-                if path not in protected:
+            # snapshot dirs are <kind>=<wave_id> (wave=N commits,
+            # rebuild=N amends) — age by wave id, keep the last
+            # keep_last ids, whatever kind wrote them
+            snaps: list[tuple[int, str]] = []
+            for d in os.listdir(tdir):
+                if "=" not in d:
+                    continue
+                try:
+                    snaps.append((int(d.split("=")[1]), d))
+                except ValueError:
+                    continue
+            keep_ids = set(sorted({w for w, _ in snaps})[-keep_last:])
+            for w, d in snaps:
+                path = os.path.join(tdir, d)
+                if w not in keep_ids and path not in protected:
                     shutil.rmtree(path, ignore_errors=True)
 
     def destroy(self) -> None:

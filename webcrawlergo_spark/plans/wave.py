@@ -94,8 +94,12 @@ class CrawlConfig:
     # shuffle of the wave's candidates + an Arrow round-trip) to avoid
     # shuffling+sorting the crawl-lifetime seen set; below this seen
     # size the plain anti-join is cheaper, so bloom mode runs the
-    # exact join while still maintaining the shards (lazy OR-in) so
-    # the probe is ready the moment the gate opens. The default is the
+    # exact join and maintains NO shards at all — the driver tracks
+    # only n_seen_est (an int) and the shard table is built ONCE, from
+    # `seen`, the wave the estimate crosses the gate (one O(seen) job
+    # amortized over the whole crawl; the r3 design paid per-wave lazy
+    # OR-in + settle jobs below the gate for shards it never probed —
+    # a measured 26% throughput tax, BENCH_r03). The default is the
     # measured single-host crossover (BENCH.md §bloom-crossover: at
     # 1M-row candidates the memory-local hash anti-join wins below
     # ~4M seen rows; the probe wins above). On a multi-node cluster
@@ -425,10 +429,15 @@ class CrawlEngine:
             loaded = store.load(spark, "bloom") if (resume and store and store.latest()) else None
             if loaded is not None:
                 bloom_df = loaded  # parquet-backed, already truncated
-            else:
+            elif n_seen_est >= cfg.bloom_probe_min_seen:
                 bloom_df = build_bloom_shards(
                     seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
                 ).localCheckpoint(eager=True)
+            # else: DEFERRED. Below the probe gate bloom mode costs
+            # NOTHING over exact (r3 paid per-wave OR-in + settle jobs
+            # for shards the run never probed — a measured 26% tax);
+            # the gate-crossing build inside the loop constructs the
+            # shards once from `seen` when the estimate gets there.
 
         import time as _time
 
@@ -677,7 +686,20 @@ class CrawlEngine:
             )
             # probe gate: below bloom_probe_min_seen the anti-join the
             # probe would avoid is cheaper than the probe's own
-            # shard-shuffle + Arrow hop — run exact, keep shards warm
+            # shard-shuffle + Arrow hop — run exact with NO shard
+            # state at all. The wave the estimate crosses the gate
+            # pays ONE O(seen) build (amortized over the whole crawl);
+            # from then on maintenance is the per-wave O(new) OR-in.
+            if (
+                cfg.seen_mode == "bloom"
+                and bloom_df is None
+                and n_seen_est >= cfg.bloom_probe_min_seen
+            ):
+                per_shard = max(64_000, n_seen_est * 4 // max(cfg.n_shards, 1))
+                bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
+                bloom_df = build_bloom_shards(
+                    seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
+                ).localCheckpoint(eager=True)
             probe_on = bloom_df is not None and n_seen_est >= cfg.bloom_probe_min_seen
             metrics = [F.sum((~F.col("valid")).cast("long")).alias("n_invalid_cand")]
             if probe_on:
@@ -696,11 +718,22 @@ class CrawlEngine:
                 metrics.append(
                     F.sum((F.col("valid") & F.col("maybe_seen")).cast("long")).alias("n_maybe")
                 )
+                # the maybe-set's total URL bytes ride the same action:
+                # the confirm-broadcast gate is rows AND bytes (long
+                # URLs make a row cap unbounded in bytes, ADVICE r3)
+                metrics.append(
+                    F.sum(
+                        F.when(
+                            F.col("valid") & F.col("maybe_seen"), F.length("href")
+                        ).cast("long")
+                    ).alias("maybe_bytes")
+                )
             grouped = grouped.observe(obs_grouped, *metrics).localCheckpoint(eager=True)
             # observed during the checkpoint pass — replaces the r1
             # filter(~valid).limit(1).count() probe job
             n_invalid_cand = int(obs_grouped.get["n_invalid_cand"] or 0)
             n_maybe = int(obs_grouped.get.get("n_maybe") or 0) if probe_on else 0
+            maybe_bytes = int(obs_grouped.get.get("maybe_bytes") or 0) if probe_on else 0
             _tick("extract+norm+judge")
 
             if n_invalid_cand:
@@ -727,7 +760,8 @@ class CrawlEngine:
             )
             if probe_on:
                 new_urls = dedup_new_urls(
-                    firsts, seen, maybe_col="maybe_seen", n_maybe=n_maybe
+                    firsts, seen, maybe_col="maybe_seen", n_maybe=n_maybe,
+                    maybe_bytes=maybe_bytes,
                 )
             else:
                 new_urls = dedup_new_urls(firsts, seen)
@@ -968,9 +1002,19 @@ class CrawlEngine:
                     if int(obs_bloom.get["overflow"] or 0):
                         per_shard = max(64_000, n_seen_est * 4 // max(cfg.n_shards, 1))
                         bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
-                        bloom_df = build_bloom_shards(
-                            seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
-                        ).localCheckpoint(eager=True)
+                        # the rebuild is PERSISTED via an atomic manifest
+                        # amend (ADVICE r3: an in-memory-only rebuild
+                        # evaporated on kill, so resume repeated the
+                        # O(seen) work from degraded-FPR blobs); the
+                        # read-back also truncates the build's lineage
+                        entry = store.amend(
+                            "bloom",
+                            build_bloom_shards(
+                                seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
+                            ),
+                            f"rebuild={wave_id}",
+                        )
+                        bloom_df = spark.read.parquet(entry["tables"]["bloom"])
             _tick("truncate+commit")
             if debug_timing:
                 print(f"  wave {wave_id}: {n_events} events", flush=True)
