@@ -48,6 +48,48 @@ def test_bloom_incremental_multiwave_equals_exact(spark, web, web_dfs, default_r
     )
 
 
+def test_cuckoo_mode_is_bit_identical(spark, web, web_dfs, default_run):
+    """r4: seen_mode='cuckoo' — the DELETABLE tier as a full crawl
+    mode (executor-side shard table, cogrouped probe + insert). Gate
+    forced open so the probe path runs from wave 0; results must be
+    bit-identical to exact mode."""
+    cfg = CrawlConfig(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        seen_mode="cuckoo",
+        n_shards=4,
+        bloom_probe_min_seen=0,
+    )
+    res = CrawlEngine(spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"], cfg).run()
+    assert res.event_order() == default_run.event_order()
+    assert sorted(r["url"] for r in res.seen.collect()) == sorted(
+        r["url"] for r in default_run.seen.collect()
+    )
+
+
+def test_cuckoo_mode_overflow_fallback_is_bit_identical(spark, web, web_dfs, default_run):
+    """Cuckoo sized absurdly small (tier_min_per_shard=16 → ~6-bucket
+    shards, capacity ~24 keys vs hundreds seen): inserts FAIL, the
+    per-probe overflow observation fires, the wave falls back to the
+    exact anti-join and rebuilds — and the crawl stays bit-identical.
+    Correctness must never depend on cuckoo sizing."""
+    cfg = CrawlConfig(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        seen_mode="cuckoo",
+        n_shards=4,
+        bloom_probe_min_seen=0,
+        tier_min_per_shard=16,
+    )
+    res = CrawlEngine(spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"], cfg).run()
+    assert res.event_order() == default_run.event_order()
+    assert sorted(r["url"] for r in res.seen.collect()) == sorted(
+        r["url"] for r in default_run.seen.collect()
+    )
+
+
 def test_bloom_gate_crossing_midcrawl_equals_exact(spark, web, web_dfs, default_run):
     """r4: below the probe gate bloom mode carries NO shard state (the
     r3 per-wave lazy OR-in below the gate was a measured 26% throughput

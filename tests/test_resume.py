@@ -92,6 +92,34 @@ def test_rollback_then_resume_matches(spark, web, web_dfs, default_run):
         assert _collect_state(res) == want
 
 
+def test_kill_and_resume_cuckoo_mode(spark, web, web_dfs, default_run):
+    """T5 × X4 for the DELETABLE tier: kill/resume with
+    seen_mode='cuckoo'. The fingerprint shard table round-trips the
+    store under the 'cuckoo' key and the resumed crawl stays
+    bit-identical to an uninterrupted exact-mode run."""
+    base_cfg = dict(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        seen_mode="cuckoo",
+        n_shards=4,
+        bloom_probe_min_seen=0,
+    )
+    want = _collect_state(default_run)
+    with tempfile.TemporaryDirectory() as ckpt:
+        CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt, max_waves=2),
+        ).run()
+        store = CheckpointStore(ckpt)
+        assert "cuckoo" in store.latest()["tables"]  # shards round-tripped
+        res = CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt),
+        ).run(resume=True)
+        assert _collect_state(res) == want
+
+
 def test_kill_and_resume_bloom_mode(spark, web, web_dfs, default_run):
     """T5 × X4: kill/resume with the executor-side bloom tier active.
     The resumed engine must load the shard TABLE from the manifest

@@ -360,8 +360,11 @@ CUCKOO_SHARDS_SCHEMA = T.StructType(
 def _cuckoo_buckets_for(per_shard: int) -> int:
     """Bucket count for a shard expected to hold ``per_shard`` keys:
     4-slot buckets at ≤84% design load (the partial-key construction's
-    safe region — past ~95% kick chains start failing)."""
-    return max(256, per_shard // (CuckooFilter.SLOTS * 84 // 100) + 1)
+    safe region — past ~95% kick chains start failing). The floor is
+    deliberately tiny so tests can size a filter into overflow; real
+    sizing comes from the caller's per-shard capacity (the wave loop
+    floors it at CrawlConfig.tier_min_per_shard)."""
+    return max(4, per_shard // (CuckooFilter.SLOTS * 84 // 100) + 1)
 
 
 def build_cuckoo_shards(

@@ -51,9 +51,13 @@ from ..operators.linkextract import extract_links
 from ..operators.sampling import salted_topk_split
 from ..operators.seenset import (
     DEFAULT_BITS_PER_KEY,
+    _cuckoo_buckets_for,
     bloom_or_shards,
     bloom_probe_sharded,
     build_bloom_shards,
+    build_cuckoo_shards,
+    cuckoo_insert_shards,
+    cuckoo_probe_sharded,
     dedup_new_urls,
 )
 from ..operators.validate import (
@@ -88,7 +92,17 @@ class CrawlConfig:
     request_delay_ms: int = 50
     update_days: int = 1
     now_ts: float = 1_700_000_000.0
-    seen_mode: str = "exact"  # "exact" | "bloom"
+    # "exact" | "bloom" | "cuckoo". Bloom = the dense fast path (no
+    # deletion; overflow only degrades FPR, never correctness).
+    # Cuckoo = the DELETABLE tier as a full crawl mode: the same
+    # executor-side shard-table design, but a registry delete between
+    # runs can forget keys (S9/T4) without an O(seen) rebuild. A
+    # cuckoo insert can FAIL at capacity (a potential false negative,
+    # which bloom cannot have), so the wave loop observes max(n_fail)
+    # on the probe's own action and, on any failure, falls back to the
+    # full exact anti-join for that wave and rebuilds the shards with
+    # fresh headroom — correctness never depends on cuckoo sizing.
+    seen_mode: str = "exact"
     n_shards: int = 16
     # bloom-mode tuning. The probe pays a fixed cost (a shard-key
     # shuffle of the wave's candidates + an Arrow round-trip) to avoid
@@ -110,6 +124,13 @@ class CrawlConfig:
     bloom_probe_min_seen: int = 4_000_000
     # probe tasks = n_shards * salt (each task still holds ONE blob)
     bloom_probe_salt: int = 2
+    # capacity floor per shard for the bloom/cuckoo tier builds: a
+    # crawl grows the seen set by orders of magnitude past the seed
+    # list, so sizing off the current count alone forces O(seen)
+    # rebuilds every couple of waves; 64k keys of headroom is ~free
+    # (80 KB/shard bloom, 200 KB/shard cuckoo). Tests shrink it to
+    # force the overflow/rebuild/fallback machinery on tiny corpora.
+    tier_min_per_shard: int = 64_000
     # reference semantics: single-site crawl (P8). False = accept any
     # host — the multi-host frontier mode the 10^10-URL north rule
     # actually runs at (same-host is then just one more predicate).
@@ -231,6 +252,66 @@ class CrawlEngine:
 
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
+
+    # -- seen-filter tier dispatch (bloom | cuckoo) -------------------------
+    # One wave-loop code path serves both approximate tiers; these
+    # four hooks are the only mode-dependent pieces. All of them keep
+    # the executor-side discipline: shard tables are DataFrames for
+    # their whole life, the driver holds counts and sizing ints only.
+
+    def _tier_per_shard(self, n_keys: int) -> int:
+        return max(self.cfg.tier_min_per_shard, n_keys * 4 // max(self.cfg.n_shards, 1))
+
+    def _tier_build(self, urls: DataFrame, per_shard: int) -> DataFrame:
+        if self.cfg.seen_mode == "cuckoo":
+            return build_cuckoo_shards(
+                urls, n_shards=self.cfg.n_shards, expected_per_shard=per_shard
+            )
+        return build_bloom_shards(
+            urls, n_shards=self.cfg.n_shards, expected_per_shard=per_shard
+        )
+
+    def _tier_absorb(self, tier_df: DataFrame, new_urls: DataFrame, per_shard: int) -> DataFrame:
+        """Fold a wave's new keys into the shard table (cogrouped,
+        lazy — rides the next action that reads the table)."""
+        if self.cfg.seen_mode == "cuckoo":
+            return cuckoo_insert_shards(
+                tier_df,
+                new_urls,
+                n_shards=self.cfg.n_shards,
+                default_n_buckets=_cuckoo_buckets_for(per_shard),
+            )
+        return bloom_or_shards(
+            tier_df,
+            new_urls,
+            n_shards=self.cfg.n_shards,
+            default_m_bits=per_shard * DEFAULT_BITS_PER_KEY,
+        )
+
+    def _tier_probe(self, candidates: DataFrame, tier_df: DataFrame, url_col: str) -> DataFrame:
+        fn = cuckoo_probe_sharded if self.cfg.seen_mode == "cuckoo" else bloom_probe_sharded
+        return fn(
+            candidates,
+            tier_df,
+            url_col=url_col,
+            n_shards=self.cfg.n_shards,
+            probe_salt=self.cfg.bloom_probe_salt,
+        )
+
+    def _tier_overflow_metric(self):
+        """Bloom: any shard past its bits/key budget (FPR degraded —
+        costs confirm work, never correctness). Cuckoo: any FAILED
+        insert (a potential false negative — the wave that observes it
+        must not trust probe negatives) or any shard past its design
+        load (preemptive, before inserts start failing)."""
+        if self.cfg.seen_mode == "cuckoo":
+            return F.max(
+                (
+                    (F.col("n_fail") > 0)
+                    | (F.col("n") * 100 > F.col("n_buckets") * 4 * 84)
+                ).cast("long")
+            ).alias("overflow")
+        return _bloom_overflow_metric()
 
     def _seed_frontier(
         self, resume_urls: DataFrame | None
@@ -403,37 +484,36 @@ class CrawlEngine:
         n_frontier = frontier.count()
         from pyspark.sql import Observation
 
-        # bloom shards live across waves: built once (or resumed from
-        # the checkpoint), then incrementally OR-ed per wave — the r1
-        # version rebuilt from the FULL seen set every wave, O(seen)
-        # instead of O(new). The shard table is a DATAFRAME for its
-        # whole life (executor-side blobs, cogrouped probe/OR-in in
-        # operators/seenset.py); the driver tracks only two ints —
-        # the default shard sizing and a seen-count estimate for the
-        # probe gate. The r2 design held a driver dict and broadcast
-        # it whole to every executor: ~12.5 GB per node at the
-        # 10^10-URL design point. Now nothing driver-side grows with
-        # the seen set.
-        bloom_df: DataFrame | None = None
-        bloom_default_m = 0
-        bloom_chain = 0  # un-settled lazy OR-in links
+        # approximate seen-filter tier (bloom or cuckoo) lives across
+        # waves: built once (or resumed from the checkpoint), then
+        # incrementally absorbed per wave — the r1 version rebuilt from
+        # the FULL seen set every wave, O(seen) instead of O(new). The
+        # shard table is a DATAFRAME for its whole life (executor-side
+        # blobs, cogrouped probe/absorb in operators/seenset.py); the
+        # driver tracks only two ints — the shard sizing and a
+        # seen-count estimate for the probe gate. The r2 design held a
+        # driver dict and broadcast it whole to every executor:
+        # ~12.5 GB per node at the 10^10-URL design point. Now nothing
+        # driver-side grows with the seen set.
+        tier_on = cfg.seen_mode in ("bloom", "cuckoo")
+        is_cuckoo = cfg.seen_mode == "cuckoo"
+        tier_df: DataFrame | None = None
+        tier_ps = 0  # current per-shard capacity sizing
+        tier_chain = 0  # un-settled lazy absorb links
         n_seen_est = 0
-        if cfg.seen_mode == "bloom":
+        if tier_on:
             n_seen_est = seen.count()
-            # capacity floor: a crawl grows the seen set by orders of
-            # magnitude past the seed list — sizing off the seeds alone
-            # forces O(seen) rebuilds every couple of waves. 64k keys ×
-            # 10 bits ≈ 80 KB/shard: headroom is ~free.
-            per_shard = max(64_000, n_seen_est * 4 // max(cfg.n_shards, 1))
-            bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
-            loaded = store.load(spark, "bloom") if (resume and store and store.latest()) else None
+            tier_ps = self._tier_per_shard(n_seen_est)
+            loaded = (
+                store.load(spark, cfg.seen_mode)
+                if (resume and store and store.latest())
+                else None
+            )
             if loaded is not None:
-                bloom_df = loaded  # parquet-backed, already truncated
+                tier_df = loaded  # parquet-backed, already truncated
             elif n_seen_est >= cfg.bloom_probe_min_seen:
-                bloom_df = build_bloom_shards(
-                    seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
-                ).localCheckpoint(eager=True)
-            # else: DEFERRED. Below the probe gate bloom mode costs
+                tier_df = self._tier_build(seen, tier_ps).localCheckpoint(eager=True)
+            # else: DEFERRED. Below the probe gate the tier costs
             # NOTHING over exact (r3 paid per-wave OR-in + settle jobs
             # for shards the run never probed — a measured 26% tax);
             # the gate-crossing build inside the loop constructs the
@@ -690,31 +770,26 @@ class CrawlEngine:
             # state at all. The wave the estimate crosses the gate
             # pays ONE O(seen) build (amortized over the whole crawl);
             # from then on maintenance is the per-wave O(new) OR-in.
-            if (
-                cfg.seen_mode == "bloom"
-                and bloom_df is None
-                and n_seen_est >= cfg.bloom_probe_min_seen
-            ):
-                per_shard = max(64_000, n_seen_est * 4 // max(cfg.n_shards, 1))
-                bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
-                bloom_df = build_bloom_shards(
-                    seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
-                ).localCheckpoint(eager=True)
-            probe_on = bloom_df is not None and n_seen_est >= cfg.bloom_probe_min_seen
+            if tier_on and tier_df is None and n_seen_est >= cfg.bloom_probe_min_seen:
+                tier_ps = self._tier_per_shard(n_seen_est)
+                tier_df = self._tier_build(seen, tier_ps).localCheckpoint(eager=True)
+            probe_on = tier_df is not None and n_seen_est >= cfg.bloom_probe_min_seen
             metrics = [F.sum((~F.col("valid")).cast("long")).alias("n_invalid_cand")]
+            obs_tier_probe = None
             if probe_on:
                 # probe INSIDE the checkpointed stage: the definite-new /
                 # maybe-seen branches downstream then read the flag from
                 # memory instead of re-running the cogroup per branch.
                 # n_maybe rides the same action and picks the confirm
                 # strategy (broadcast two-step vs sort-merge anti).
-                grouped = bloom_probe_sharded(
-                    grouped,
-                    bloom_df,
-                    url_col="href",
-                    n_shards=cfg.n_shards,
-                    probe_salt=cfg.bloom_probe_salt,
-                )
+                if is_cuckoo:
+                    # a cuckoo tier can hold FAILED inserts (= possible
+                    # false negatives); observe the overflow flag on the
+                    # blob side of this very probe so the SAME wave can
+                    # refuse to trust the negatives (fallback below)
+                    obs_tier_probe = Observation()
+                    tier_df = tier_df.observe(obs_tier_probe, self._tier_overflow_metric())
+                grouped = self._tier_probe(grouped, tier_df, url_col="href")
                 metrics.append(
                     F.sum((F.col("valid") & F.col("maybe_seen")).cast("long")).alias("n_maybe")
                 )
@@ -734,6 +809,14 @@ class CrawlEngine:
             n_invalid_cand = int(obs_grouped.get["n_invalid_cand"] or 0)
             n_maybe = int(obs_grouped.get.get("n_maybe") or 0) if probe_on else 0
             maybe_bytes = int(obs_grouped.get.get("maybe_bytes") or 0) if probe_on else 0
+            # cuckoo-only soundness gate: if any shard ever FAILED an
+            # insert, a probe negative may be false — this wave must
+            # not trust the probe (exact dedup below) and the shards
+            # are rebuilt with fresh headroom after the wave's new
+            # URLs are known. Observed on the probe's own action.
+            tier_overflowed = bool(
+                obs_tier_probe is not None and int(obs_tier_probe.get["overflow"] or 0)
+            )
             _tick("extract+norm+judge")
 
             if n_invalid_cand:
@@ -747,8 +830,9 @@ class CrawlEngine:
                 invalid_nonempty = True
 
             # first-encounter dedup (J2): min enqueue key within the wave,
-            # then anti-join the seen set (exact or bloom+confirm)
-            flag_cols = [F.col("maybe_seen")] if probe_on else []
+            # then anti-join the seen set (exact or probe+confirm)
+            trust_probe = probe_on and not tier_overflowed
+            flag_cols = [F.col("maybe_seen")] if trust_probe else []
             firsts = grouped.filter(F.col("valid")).select(
                 F.col("href").alias("url"),
                 "host",
@@ -758,7 +842,7 @@ class CrawlEngine:
                 "link_pos",
                 *flag_cols,
             )
-            if probe_on:
+            if trust_probe:
                 new_urls = dedup_new_urls(
                     firsts, seen, maybe_col="maybe_seen", n_maybe=n_maybe,
                     maybe_bytes=maybe_bytes,
@@ -772,50 +856,51 @@ class CrawlEngine:
                 .localCheckpoint(eager=True)
             )
             n_new = int(obs_new.get["n_new"] or 0)
-            if bloom_df is not None and n_new:
+            if tier_overflowed:
+                # cuckoo past capacity: ONE O(seen) rebuild with fresh
+                # headroom (post-wave seen set — the fallback above
+                # already deduped this wave exactly, so the rebuild
+                # closes the failed-insert window completely)
+                tier_ps = self._tier_per_shard(n_seen_est + n_new)
+                tier_df = self._tier_build(
+                    seen.unionByName(new_urls.select("url")), tier_ps
+                ).localCheckpoint(eager=True)
+                tier_chain = 0
+            elif tier_df is not None and n_new:
                 # O(new keys + blob bytes), all executor-side: hash
                 # JVM-side, cogroup the wave's keys with the shard table,
-                # each task ORs ONE shard's blob (operators/seenset.py).
-                # The OR-in is LAZY — it rides the next action that
-                # touches the shard table (the next wave's probe, the
-                # store commit, or the periodic settle below) instead of
-                # paying its own per-wave job. The chain stays shallow:
-                # new_urls is already checkpointed, each link is a
-                # cogroup over n_shards rows.
-                bloom_df = bloom_or_shards(
-                    bloom_df,
-                    new_urls.select("url"),
-                    n_shards=cfg.n_shards,
-                    default_m_bits=bloom_default_m,
-                )
-                bloom_chain += 1
-            if bloom_df is not None and bloom_chain >= truncate_every and store is None:
+                # each task folds into ONE shard's blob
+                # (operators/seenset.py). The absorb is LAZY — it rides
+                # the next action that touches the shard table (the next
+                # wave's probe, the store commit, or the periodic settle
+                # below) instead of paying its own per-wave job. The
+                # chain stays shallow: new_urls is already checkpointed,
+                # each link is a cogroup over n_shards rows.
+                tier_df = self._tier_absorb(tier_df, new_urls.select("url"), tier_ps)
+                tier_chain += 1
+            if tier_df is not None and tier_chain >= truncate_every and store is None:
                 # settle the chain: one small job (blob rows only)
                 # truncates lineage and carries the overflow check as an
                 # observed metric — nothing but one int reaches the
-                # driver. Overflow cadence is every truncate_every
-                # waves: in between, degraded FPR only costs extra
+                # driver. Overflow cadence here is every truncate_every
+                # waves: in between, degraded bloom FPR only costs extra
                 # confirm work, never correctness (positives are always
-                # exact-confirmed).
-                obs_bloom = Observation()
-                bloom_df = (
-                    bloom_df.observe(obs_bloom, _bloom_overflow_metric())
+                # exact-confirmed; cuckoo false NEGATIVES are caught by
+                # the per-probe observation above, not this cadence).
+                obs_settle = Observation()
+                tier_df = (
+                    tier_df.observe(obs_settle, self._tier_overflow_metric())
                     .localCheckpoint(eager=True)
                 )
-                bloom_chain = 0
-                if int(obs_bloom.get["overflow"] or 0):
-                    # FPR degraded past sizing: one O(seen) rebuild with
-                    # fresh headroom. `seen` does NOT yet include this
-                    # wave at this point (the state merge happens later
-                    # in the loop) — the unionByName below is required
-                    per_shard = max(
-                        64_000, (n_seen_est + n_new) * 4 // max(cfg.n_shards, 1)
-                    )
-                    bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
-                    bloom_df = build_bloom_shards(
-                        seen.unionByName(new_urls.select("url")),
-                        n_shards=cfg.n_shards,
-                        expected_per_shard=per_shard,
+                tier_chain = 0
+                if int(obs_settle.get["overflow"] or 0):
+                    # past sizing: one O(seen) rebuild with fresh
+                    # headroom. `seen` does NOT yet include this wave at
+                    # this point (the state merge happens later in the
+                    # loop) — the unionByName below is required
+                    tier_ps = self._tier_per_shard(n_seen_est + n_new)
+                    tier_df = self._tier_build(
+                        seen.unionByName(new_urls.select("url")), tier_ps
                     ).localCheckpoint(eager=True)
             n_seen_est += n_new
             _tick("dedup+newurls")
@@ -962,17 +1047,18 @@ class CrawlEngine:
                     "frontier": frontier, "urls": urls, "seen": seen,
                     "fetch_flags": fetch_flags, "invalid": invalid,
                 }
-                obs_bloom = None
-                if bloom_df is not None:
-                    # shard blobs round-trip the store: resume reuses
-                    # them instead of an O(seen) rebuild. Already a
+                obs_commit_tier = None
+                if tier_df is not None:
+                    # shard blobs round-trip the store under the mode
+                    # name ("bloom"/"cuckoo"): resume reuses them
+                    # instead of an O(seen) rebuild. Already a
                     # DataFrame — the commit write executes any pending
-                    # lazy OR-in links, fires the overflow metric, and
+                    # lazy absorb links, fires the overflow metric, and
                     # the read-back below truncates the chain. The
                     # driver never touches a blob.
-                    obs_bloom = Observation()
-                    bloom_df = bloom_df.observe(obs_bloom, _bloom_overflow_metric())
-                    snap["bloom"] = bloom_df
+                    obs_commit_tier = Observation()
+                    tier_df = tier_df.observe(obs_commit_tier, self._tier_overflow_metric())
+                    snap[cfg.seen_mode] = tier_df
                 entry = store.commit(
                     wave_id,
                     snap,
@@ -996,25 +1082,22 @@ class CrawlEngine:
                 frontier = spark.read.parquet(entry["tables"]["frontier"])
                 if flags_live:
                     fetch_flags = spark.read.parquet(entry["tables"]["fetch_flags"])
-                if obs_bloom is not None:
-                    bloom_df = spark.read.parquet(entry["tables"]["bloom"])
-                    bloom_chain = 0
-                    if int(obs_bloom.get["overflow"] or 0):
-                        per_shard = max(64_000, n_seen_est * 4 // max(cfg.n_shards, 1))
-                        bloom_default_m = per_shard * DEFAULT_BITS_PER_KEY
+                if obs_commit_tier is not None:
+                    tier_df = spark.read.parquet(entry["tables"][cfg.seen_mode])
+                    tier_chain = 0
+                    if int(obs_commit_tier.get["overflow"] or 0):
+                        tier_ps = self._tier_per_shard(n_seen_est)
                         # the rebuild is PERSISTED via an atomic manifest
                         # amend (ADVICE r3: an in-memory-only rebuild
                         # evaporated on kill, so resume repeated the
                         # O(seen) work from degraded-FPR blobs); the
                         # read-back also truncates the build's lineage
                         entry = store.amend(
-                            "bloom",
-                            build_bloom_shards(
-                                seen, n_shards=cfg.n_shards, expected_per_shard=per_shard
-                            ),
+                            cfg.seen_mode,
+                            self._tier_build(seen, tier_ps),
                             f"rebuild={wave_id}",
                         )
-                        bloom_df = spark.read.parquet(entry["tables"]["bloom"])
+                        tier_df = spark.read.parquet(entry["tables"][cfg.seen_mode])
             _tick("truncate+commit")
             if debug_timing:
                 print(f"  wave {wave_id}: {n_events} events", flush=True)
