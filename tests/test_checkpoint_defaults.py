@@ -90,6 +90,32 @@ def test_cuckoo_mode_overflow_fallback_is_bit_identical(spark, web, web_dfs, def
     )
 
 
+def test_tier_shard_count_autosizing_midcrawl(spark, web, web_dfs, default_run):
+    """r4: every tier (re)build re-picks the shard count by the
+    keys/shard ceiling rule (tier_max_keys_per_shard) so one shard's
+    blob stays task-sized at any seen-set scale. Shrunk ceilings force
+    the count to GROW mid-crawl (overflow rebuild at a bigger count);
+    the resharding must be invisible in the results."""
+    cfg = CrawlConfig(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        seen_mode="bloom",
+        n_shards=2,
+        bloom_probe_min_seen=0,
+        tier_min_per_shard=16,       # tiny capacity → overflow → rebuild
+        tier_max_keys_per_shard=20,  # rebuild picks ceil(seen/20) shards
+    )
+    eng = CrawlEngine(spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"], cfg)
+    res = eng.run()
+    assert res.event_order() == default_run.event_order()
+    assert sorted(r["url"] for r in res.seen.collect()) == sorted(
+        r["url"] for r in default_run.seen.collect()
+    )
+    # non-vacuity: a rebuild really re-sharded past the configured 2
+    assert eng._tier_shards > 2, eng._tier_shards
+
+
 def test_bloom_gate_crossing_midcrawl_equals_exact(spark, web, web_dfs, default_run):
     """r4: below the probe gate bloom mode carries NO shard state (the
     r3 per-wave lazy OR-in below the gate was a measured 26% throughput

@@ -206,8 +206,10 @@ def build_bloom_shards(
     key hashes (16 B/key) to one task — pick n_shards ≥
     total_keys / ~50M so a shard's hash frame stays task-sized
     (at the 10^10-key design point: n_shards ≥ 256, blob ≈ 780 MB
-    per shard spread one-per-task). The per-wave maintenance path
-    (bloom_or_shards) only ever ships a WAVE's keys and is
+    per shard spread one-per-task). The wave engine applies this rule
+    automatically at every (re)build
+    (CrawlConfig.tier_max_keys_per_shard). The per-wave maintenance
+    path (bloom_or_shards) only ever ships a WAVE's keys and is
     insensitive to total size."""
     hashed = with_hashes(urls.select(url_col), url_col, n_shards)
     if expected_per_shard is None:

@@ -114,7 +114,7 @@ class CheckpointStore:
         self._gc(keep_wave=wave_id, protect=entry["append_tables"])
         return entry
 
-    def amend(self, table: str, df: DataFrame, tag: str) -> dict:
+    def amend(self, table: str, df: DataFrame, tag: str, meta: dict | None = None) -> dict:
         """Atomically repoint ONE snapshot table of the current
         manifest at freshly-written data — the post-commit maintenance
         path (e.g. a bloom overflow rebuild detected on the commit's
@@ -125,7 +125,9 @@ class CheckpointStore:
         (ADVICE r3: the in-memory-only rebuild evaporated on kill).
 
         ``tag`` names the snapshot dir (convention: ``rebuild=<wave>``
-        so GC ages it with its wave's other snapshots).
+        so GC ages it with its wave's other snapshots). ``meta``
+        entries are merged into the manifest meta (e.g. sizing pins
+        that changed with the rebuilt table).
         """
         m = self.latest()
         if m is None:
@@ -133,6 +135,8 @@ class CheckpointStore:
         path = os.path.join(self.root, table, tag)
         df.write.mode("overwrite").parquet(path)
         m["tables"][table] = path
+        if meta:
+            m["meta"].update(meta)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)

@@ -131,6 +131,16 @@ class CrawlConfig:
     # (80 KB/shard bloom, 200 KB/shard cuckoo). Tests shrink it to
     # force the overflow/rebuild/fallback machinery on tiny corpora.
     tier_min_per_shard: int = 64_000
+    # shard-count ceiling rule: every (re)build sizes the shard count
+    # to max(n_shards, keys/tier_max_keys_per_shard) so one shard's
+    # blob stays task-sized no matter how big the seen set grows —
+    # at the 10^10-key design point a fixed n_shards=16 would mean
+    # ~780 MB bloom blobs per task; with the 50M rule the build picks
+    # 200 shards of ~60 MB. The count is pinned between builds (the
+    # cogrouped probe/absorb must address the table that exists) and
+    # round-trips the checkpoint manifest. Tests shrink it to force
+    # mid-crawl shard-count growth.
+    tier_max_keys_per_shard: int = 50_000_000
     # reference semantics: single-site crawl (P8). False = accept any
     # host — the multi-host frontier mode the 10^10-URL north rule
     # actually runs at (same-host is then just one more predicate).
@@ -259,33 +269,41 @@ class CrawlEngine:
     # the executor-side discipline: shard tables are DataFrames for
     # their whole life, the driver holds counts and sizing ints only.
 
-    def _tier_per_shard(self, n_keys: int) -> int:
-        return max(self.cfg.tier_min_per_shard, n_keys * 4 // max(self.cfg.n_shards, 1))
-
-    def _tier_build(self, urls: DataFrame, per_shard: int) -> DataFrame:
-        if self.cfg.seen_mode == "cuckoo":
+    def _tier_build(self, urls: DataFrame, n_keys: int) -> DataFrame:
+        """(Re)build the shard table from ~``n_keys`` keys. Each build
+        re-picks the SHARD COUNT by the keys/shard ceiling rule
+        (cfg.tier_max_keys_per_shard — keeps one shard's blob
+        task-sized at any seen-set scale) and the per-shard capacity
+        with 4× headroom; both are pinned until the next build (the
+        cogrouped probe/absorb must address the table that exists) and
+        round-trip the checkpoint manifest meta."""
+        cfg = self.cfg
+        cap = max(cfg.tier_max_keys_per_shard, 1)
+        self._tier_shards = max(cfg.n_shards, (n_keys + cap - 1) // cap)
+        self._tier_ps = max(cfg.tier_min_per_shard, n_keys * 4 // self._tier_shards)
+        if cfg.seen_mode == "cuckoo":
             return build_cuckoo_shards(
-                urls, n_shards=self.cfg.n_shards, expected_per_shard=per_shard
+                urls, n_shards=self._tier_shards, expected_per_shard=self._tier_ps
             )
         return build_bloom_shards(
-            urls, n_shards=self.cfg.n_shards, expected_per_shard=per_shard
+            urls, n_shards=self._tier_shards, expected_per_shard=self._tier_ps
         )
 
-    def _tier_absorb(self, tier_df: DataFrame, new_urls: DataFrame, per_shard: int) -> DataFrame:
+    def _tier_absorb(self, tier_df: DataFrame, new_urls: DataFrame) -> DataFrame:
         """Fold a wave's new keys into the shard table (cogrouped,
         lazy — rides the next action that reads the table)."""
         if self.cfg.seen_mode == "cuckoo":
             return cuckoo_insert_shards(
                 tier_df,
                 new_urls,
-                n_shards=self.cfg.n_shards,
-                default_n_buckets=_cuckoo_buckets_for(per_shard),
+                n_shards=self._tier_shards,
+                default_n_buckets=_cuckoo_buckets_for(self._tier_ps),
             )
         return bloom_or_shards(
             tier_df,
             new_urls,
-            n_shards=self.cfg.n_shards,
-            default_m_bits=per_shard * DEFAULT_BITS_PER_KEY,
+            n_shards=self._tier_shards,
+            default_m_bits=self._tier_ps * DEFAULT_BITS_PER_KEY,
         )
 
     def _tier_probe(self, candidates: DataFrame, tier_df: DataFrame, url_col: str) -> DataFrame:
@@ -294,7 +312,7 @@ class CrawlEngine:
             candidates,
             tier_df,
             url_col=url_col,
-            n_shards=self.cfg.n_shards,
+            n_shards=self._tier_shards,
             probe_salt=self.cfg.bloom_probe_salt,
         )
 
@@ -498,12 +516,14 @@ class CrawlEngine:
         tier_on = cfg.seen_mode in ("bloom", "cuckoo")
         is_cuckoo = cfg.seen_mode == "cuckoo"
         tier_df: DataFrame | None = None
-        tier_ps = 0  # current per-shard capacity sizing
         tier_chain = 0  # un-settled lazy absorb links
         n_seen_est = 0
+        # sizing pins (shard count + per-shard capacity) — set by
+        # _tier_build, resumed from the manifest meta with the blobs
+        self._tier_shards = cfg.n_shards
+        self._tier_ps = cfg.tier_min_per_shard
         if tier_on:
             n_seen_est = seen.count()
-            tier_ps = self._tier_per_shard(n_seen_est)
             loaded = (
                 store.load(spark, cfg.seen_mode)
                 if (resume and store and store.latest())
@@ -511,8 +531,11 @@ class CrawlEngine:
             )
             if loaded is not None:
                 tier_df = loaded  # parquet-backed, already truncated
+                meta = store.latest()["meta"]
+                self._tier_shards = int(meta.get("tier_shards", cfg.n_shards))
+                self._tier_ps = int(meta.get("tier_ps", cfg.tier_min_per_shard))
             elif n_seen_est >= cfg.bloom_probe_min_seen:
-                tier_df = self._tier_build(seen, tier_ps).localCheckpoint(eager=True)
+                tier_df = self._tier_build(seen, n_seen_est).localCheckpoint(eager=True)
             # else: DEFERRED. Below the probe gate the tier costs
             # NOTHING over exact (r3 paid per-wave OR-in + settle jobs
             # for shards the run never probed — a measured 26% tax);
@@ -771,8 +794,7 @@ class CrawlEngine:
             # pays ONE O(seen) build (amortized over the whole crawl);
             # from then on maintenance is the per-wave O(new) OR-in.
             if tier_on and tier_df is None and n_seen_est >= cfg.bloom_probe_min_seen:
-                tier_ps = self._tier_per_shard(n_seen_est)
-                tier_df = self._tier_build(seen, tier_ps).localCheckpoint(eager=True)
+                tier_df = self._tier_build(seen, n_seen_est).localCheckpoint(eager=True)
             probe_on = tier_df is not None and n_seen_est >= cfg.bloom_probe_min_seen
             metrics = [F.sum((~F.col("valid")).cast("long")).alias("n_invalid_cand")]
             obs_tier_probe = None
@@ -861,9 +883,8 @@ class CrawlEngine:
                 # headroom (post-wave seen set — the fallback above
                 # already deduped this wave exactly, so the rebuild
                 # closes the failed-insert window completely)
-                tier_ps = self._tier_per_shard(n_seen_est + n_new)
                 tier_df = self._tier_build(
-                    seen.unionByName(new_urls.select("url")), tier_ps
+                    seen.unionByName(new_urls.select("url")), n_seen_est + n_new
                 ).localCheckpoint(eager=True)
                 tier_chain = 0
             elif tier_df is not None and n_new:
@@ -876,7 +897,7 @@ class CrawlEngine:
                 # below) instead of paying its own per-wave job. The
                 # chain stays shallow: new_urls is already checkpointed,
                 # each link is a cogroup over n_shards rows.
-                tier_df = self._tier_absorb(tier_df, new_urls.select("url"), tier_ps)
+                tier_df = self._tier_absorb(tier_df, new_urls.select("url"))
                 tier_chain += 1
             if tier_df is not None and tier_chain >= truncate_every and store is None:
                 # settle the chain: one small job (blob rows only)
@@ -898,9 +919,8 @@ class CrawlEngine:
                     # headroom. `seen` does NOT yet include this wave at
                     # this point (the state merge happens later in the
                     # loop) — the unionByName below is required
-                    tier_ps = self._tier_per_shard(n_seen_est + n_new)
                     tier_df = self._tier_build(
-                        seen.unionByName(new_urls.select("url")), tier_ps
+                        seen.unionByName(new_urls.select("url")), n_seen_est + n_new
                     ).localCheckpoint(eager=True)
             n_seen_est += n_new
             _tick("dedup+newurls")
@@ -1070,7 +1090,14 @@ class CrawlEngine:
                         "pages": wave_pages,
                         "lineage": lin,
                     },
-                    meta={"event_base": event_base, "virtual_base_ms": virtual_base_ms},
+                    meta={
+                        "event_base": event_base,
+                        "virtual_base_ms": virtual_base_ms,
+                        # tier sizing pins ride the manifest so resume
+                        # addresses the shard table that exists
+                        "tier_shards": self._tier_shards,
+                        "tier_ps": self._tier_ps,
+                    },
                 )
                 # the commit write already materialized every state
                 # table — re-reading the committed parquet truncates
@@ -1086,16 +1113,24 @@ class CrawlEngine:
                     tier_df = spark.read.parquet(entry["tables"][cfg.seen_mode])
                     tier_chain = 0
                     if int(obs_commit_tier.get["overflow"] or 0):
-                        tier_ps = self._tier_per_shard(n_seen_est)
                         # the rebuild is PERSISTED via an atomic manifest
                         # amend (ADVICE r3: an in-memory-only rebuild
                         # evaporated on kill, so resume repeated the
                         # O(seen) work from degraded-FPR blobs); the
                         # read-back also truncates the build's lineage
+                        # _tier_build (first arg) updates the sizing
+                        # pins BEFORE the meta dict is built — the
+                        # amended manifest must describe the rebuilt
+                        # table, not the one it replaces
+                        rebuilt = self._tier_build(seen, n_seen_est)
                         entry = store.amend(
                             cfg.seen_mode,
-                            self._tier_build(seen, tier_ps),
+                            rebuilt,
                             f"rebuild={wave_id}",
+                            meta={
+                                "tier_shards": self._tier_shards,
+                                "tier_ps": self._tier_ps,
+                            },
                         )
                         tier_df = spark.read.parquet(entry["tables"][cfg.seen_mode])
             _tick("truncate+commit")
