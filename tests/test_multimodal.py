@@ -97,6 +97,27 @@ def test_image_decode_still_stubbed():
         decode_blob(b"\x89PNG\r\n", "image/png")
 
 
+def test_riff_non_wave_containers_hit_the_stub():
+    """WEBP images and AVI video are ALSO RIFF containers — they must
+    fall through to the NotImplementedError stub, not die in the WAV
+    parser (r4 review)."""
+    webp = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 " + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        decode_blob(webp, "image/webp")
+    avi = b"RIFF" + b"\x10\x00\x00\x00" + b"AVI " + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        decode_blob(avi, "video/x-msvideo")
+
+
+def test_wav_bytes_rejects_unscaled_dtypes():
+    """Float/int32 samples would silently truncate to garbage — the
+    builder's inverse-of-decode contract only covers uint8/int16."""
+    with pytest.raises(TypeError, match="uint8 or int16"):
+        wav_bytes(np.sin(np.linspace(0, 6.28, 100)), 8000)
+    with pytest.raises(TypeError, match="uint8 or int16"):
+        wav_bytes(np.arange(100, dtype=np.int32), 8000)
+
+
 def test_jvm_wav_container_matches_python_builder(spark):
     """The JVM column-expression WAV construction (wav_blob_expr —
     little-endian length fields via byte math) is byte-identical to

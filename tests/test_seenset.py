@@ -119,6 +119,71 @@ def test_confirm_broadcast_gate_rows_and_bytes(spark):
     assert rows == want and not hinted  # row budget exceeded → sort-merge
 
 
+def test_cuckoo_high_load_no_false_negatives():
+    """Regression (r4 review): with a NON-power-of-two bucket count
+    the partial-key xor involution breaks and kick-chain evictions
+    relocate fingerprints into buckets the probe never checks —
+    silent false negatives at n_fail == 0 (~0.1% of inserted keys at
+    60% load). The shipped sizing must therefore be a power of two,
+    and every inserted key must probe positive right up to design
+    load."""
+    from webcrawlergo_spark.operators.seenset import _cuckoo_buckets_for
+
+    per_shard = 50_000
+    n_buckets = _cuckoo_buckets_for(per_shard)
+    assert n_buckets & (n_buckets - 1) == 0  # power of two
+    rng = np.random.default_rng(17)
+    n = int(n_buckets * CuckooFilter.SLOTS * 0.80)  # just under design load
+    h1 = rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+    h2 = rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+    cf = CuckooFilter(n_buckets)
+    fails = cf.insert_many(h1, h2)
+    assert fails == 0
+    assert cf.contains_many(h1, h2).all()  # zero false negatives
+
+
+def test_cuckoo_rejects_non_power_of_two():
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        CuckooFilter(1000)
+
+
+def test_cuckoo_delete_missing_shard_fabricates_nothing(spark):
+    """Deleting keys that hash to a shard with no filter row must NOT
+    create an empty table row (it would persist and shuffle forever)."""
+    from webcrawlergo_spark.operators.seenset import (
+        build_cuckoo_shards,
+        cuckoo_delete_shards,
+    )
+
+    seen = spark.createDataFrame([("https://h.test/only",)], "url string")
+    cuckoo_df = build_cuckoo_shards(seen, n_shards=8)  # 1 shard row
+    n_rows = cuckoo_df.count()
+    victims = spark.range(200).select(
+        F.concat(F.lit("https://h.test/v"), F.col("id")).alias("url")
+    )
+    after = cuckoo_delete_shards(cuckoo_df, victims, n_shards=8)
+    assert after.count() == n_rows
+
+
+def test_n_shards_resolved_from_table(spark):
+    """Callers that don't track the build's shard count pass
+    n_shards=None and the count is read from the table rows — a
+    hard-coded default mismatched with the build would route keys to
+    the wrong shard and (for cuckoo) silently pass seen URLs as new."""
+    from webcrawlergo_spark.operators.seenset import build_cuckoo_shards
+
+    all_urls = [f"https://h.test/r{i}" for i in range(400)]
+    seen = spark.createDataFrame([(u,) for u in all_urls[:250]], "url string")
+    cuckoo_df = build_cuckoo_shards(seen, n_shards=4)
+    cands = spark.createDataFrame([(u,) for u in all_urls], "url string")
+    got = sorted(
+        r["url"] for r in dedup_new_urls(cands, seen, cuckoo_df=cuckoo_df).collect()
+    )
+    assert got == sorted(all_urls[250:])
+
+
 def test_cuckoo_insert_contains_delete():
     rng = np.random.default_rng(1)
     n = 3000

@@ -77,7 +77,12 @@ def decode_blob(blob: bytes, media_type: str):
     ``(n_frames, n_channels)``, dtype uint8 (8-bit PCM, unsigned per
     the WAV spec) or int16 (16-bit little-endian).
     """
-    if media_type in ("audio/wav", "audio/x-wav") or blob[:4] == b"RIFF":
+    # sniff requires the WAVE form tag too: WEBP images and AVI video
+    # are ALSO RIFF containers and must fall through to the stub, not
+    # die in the WAV parser
+    if media_type in ("audio/wav", "audio/x-wav") or (
+        blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    ):
         return _decode_wav(blob)
     raise NotImplementedError(
         "image/video decode requires PIL/ffmpeg, not present in this image; "
@@ -119,9 +124,15 @@ def wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
-    bits = 8 if arr.dtype == np.uint8 else 16
-    if bits == 16:
+    if arr.dtype == np.uint8:
+        bits = 8
+    elif arr.dtype == np.int16:
+        bits = 16
         arr = arr.astype("<i2")
+    else:
+        # floats/int32 would silently truncate — the inverse-of-decode
+        # contract only holds for the two PCM dtypes the parser emits
+        raise TypeError(f"wav_bytes expects uint8 or int16 samples, got {arr.dtype}")
     n_ch = arr.shape[1]
     data = arr.tobytes()
     block = n_ch * bits // 8

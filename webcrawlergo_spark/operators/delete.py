@@ -27,7 +27,7 @@ def delete_urls_cascade(
     targets: DataFrame,
     seen: DataFrame | None = None,
     cuckoo_df: DataFrame | None = None,
-    n_shards: int = 16,
+    n_shards: int | None = None,
 ) -> dict[str, DataFrame]:
     """Delete ``targets`` (a df with either ``id`` or ``url``) from the
     registry, cascading to pages; optionally maintain the seen set and

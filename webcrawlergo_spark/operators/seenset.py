@@ -98,6 +98,16 @@ class CuckooFilter:
     MAX_KICKS = 500
 
     def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        # POWER OF TWO REQUIRED: the partial-key property — bucket2 =
+        # b1 xor hash(fp), and back again — is an involution only
+        # modulo a power of two. With any other count, a kick-chain
+        # eviction relocates a fingerprint into a bucket the probe
+        # never checks: a SILENT false negative with n_fail == 0,
+        # below every overflow trigger (found by review in r4 — at
+        # 60% load a non-pow2 filter false-negatives ~0.1% of its own
+        # inserted keys).
+        if n_buckets <= 0 or (n_buckets & (n_buckets - 1)) != 0:
+            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
         self.n_buckets = n_buckets
         self.table = table if table is not None else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
 
@@ -223,7 +233,13 @@ def build_bloom_shards(
         shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
         bits = bloom_build(pdf["_h1"].to_numpy(np.uint64), pdf["_h2"].to_numpy(np.uint64), m_bits, k)
         return pd.DataFrame(
-            {"shard": [shard], "m_bits": [m_bits], "n": [len(pdf)], "bits": [bits.tobytes()]}
+            {
+                "shard": [shard],
+                "m_bits": [m_bits],
+                "n": [len(pdf)],
+                "bits": [bits.tobytes()],
+                "n_shards": [n_shards],
+            }
         )
 
     return hashed.groupBy("_shard").applyInPandas(build, BLOOM_SHARDS_SCHEMA)
@@ -235,19 +251,34 @@ BLOOM_SHARDS_SCHEMA = T.StructType(
         T.StructField("m_bits", T.LongType()),
         T.StructField("n", T.LongType()),
         T.StructField("bits", T.BinaryType()),
+        # the shard COUNT the table was built with, carried per row:
+        # probing or maintaining with a mismatched count silently
+        # routes keys to the wrong shard (review r4) — callers that
+        # don't track the count pass n_shards=None and it is read
+        # back from here (table_n_shards)
+        T.StructField("n_shards", T.IntegerType()),
     ]
 )
 
 
-def bloom_probe_sharded(
+def table_n_shards(blob_df: DataFrame, default: int = 16) -> int:
+    """The shard count a bloom/cuckoo table was built with (carried on
+    every row). One tiny driver job; callers with the count pinned
+    (the wave engine) pass it explicitly instead."""
+    row = blob_df.select("n_shards").first()
+    return int(row[0]) if row and row[0] is not None else default
+
+
+def _probe_sharded(
     candidates: DataFrame,
-    bloom_df: DataFrame,
-    url_col: str = "url",
-    n_shards: int = 16,
-    k: int = DEFAULT_K,
-    probe_salt: int = 2,
+    blob_df: DataFrame,
+    kernel,
+    url_col: str,
+    n_shards: int | None,
+    probe_salt: int,
 ) -> DataFrame:
-    """Add ``maybe_seen`` via the shard-partitioned executor-side probe.
+    """Shared scaffolding of the executor-side probes (bloom and
+    cuckoo differ only in ``kernel(shard_pdf, h1, h2) -> bool[]``).
 
     Candidates are repartitioned by their shard and cogrouped with the
     shard table, so each task reads exactly ONE shard's blob — driver
@@ -263,13 +294,15 @@ def bloom_probe_sharded(
     spread across the cluster — vs the broadcast's
     executors×(total blob bytes) to every node.
     """
+    if n_shards is None:
+        n_shards = table_n_shards(blob_df)
     out_fields = list(candidates.schema.fields)
     out_cols = [f.name for f in out_fields]
     out_schema = T.StructType(out_fields + [T.StructField("maybe_seen", T.BooleanType())])
     hashed = with_hashes(candidates, url_col, n_shards).withColumn(
         "_salt", F.pmod(F.col("_h2"), F.lit(probe_salt)).cast("int")
     )
-    blob_side = bloom_df.withColumn(
+    blob_side = blob_df.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(probe_salt)]))
     )
 
@@ -279,14 +312,10 @@ def bloom_probe_sharded(
         if not len(shard):
             maybe = np.zeros(len(cand), dtype=bool)
         else:
-            m_bits = int(shard["m_bits"].iloc[0])
-            bits = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8)
-            maybe = bloom_probe(
-                bits,
+            maybe = kernel(
+                shard,
                 cand["_h1"].to_numpy(np.uint64),
                 cand["_h2"].to_numpy(np.uint64),
-                m_bits,
-                k,
             )
         out = cand[out_cols].copy()
         out["maybe_seen"] = maybe
@@ -299,11 +328,30 @@ def bloom_probe_sharded(
     )
 
 
+def bloom_probe_sharded(
+    candidates: DataFrame,
+    bloom_df: DataFrame,
+    url_col: str = "url",
+    n_shards: int | None = None,
+    k: int = DEFAULT_K,
+    probe_salt: int = 2,
+) -> DataFrame:
+    """Add ``maybe_seen`` via the shard-partitioned executor-side
+    bloom probe (see _probe_sharded for the scaffold)."""
+
+    def kernel(shard: pd.DataFrame, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        m_bits = int(shard["m_bits"].iloc[0])
+        bits = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8)
+        return bloom_probe(bits, h1, h2, m_bits, k)
+
+    return _probe_sharded(candidates, bloom_df, kernel, url_col, n_shards, probe_salt)
+
+
 def bloom_or_shards(
     bloom_df: DataFrame,
     new_urls: DataFrame,
     url_col: str = "url",
-    n_shards: int = 16,
+    n_shards: int | None = None,
     k: int = DEFAULT_K,
     default_m_bits: int = 64_000 * DEFAULT_BITS_PER_KEY,
 ) -> DataFrame:
@@ -314,6 +362,8 @@ def bloom_or_shards(
     fresh ``default_m_bits`` blob. O(new keys + blob bytes) per wave,
     no driver hop (the r2 path collected every wave's key hashes to
     the driver and mutated a driver-resident dict)."""
+    if n_shards is None:
+        n_shards = table_n_shards(bloom_df)
     keys = with_hashes(new_urls.select(url_col), url_col, n_shards).select(
         "_shard", "_h1", "_h2"
     )
@@ -334,7 +384,13 @@ def bloom_or_shards(
             )
             n += len(new)
         return pd.DataFrame(
-            {"shard": [sid], "m_bits": [m_bits], "n": [n], "bits": [bits.tobytes()]}
+            {
+                "shard": [sid],
+                "m_bits": [m_bits],
+                "n": [n],
+                "bits": [bits.tobytes()],
+                "n_shards": [n_shards],
+            }
         )
 
     return (
@@ -355,6 +411,8 @@ CUCKOO_SHARDS_SCHEMA = T.StructType(
         # rebuild" (observable as a metric, same as bloom overflow)
         T.StructField("n_fail", T.LongType()),
         T.StructField("table", T.BinaryType()),
+        # build-time shard count (see BLOOM_SHARDS_SCHEMA note)
+        T.StructField("n_shards", T.IntegerType()),
     ]
 )
 
@@ -362,11 +420,14 @@ CUCKOO_SHARDS_SCHEMA = T.StructType(
 def _cuckoo_buckets_for(per_shard: int) -> int:
     """Bucket count for a shard expected to hold ``per_shard`` keys:
     4-slot buckets at ≤84% design load (the partial-key construction's
-    safe region — past ~95% kick chains start failing). The floor is
-    deliberately tiny so tests can size a filter into overflow; real
-    sizing comes from the caller's per-shard capacity (the wave loop
-    floors it at CrawlConfig.tier_min_per_shard)."""
-    return max(4, per_shard // (CuckooFilter.SLOTS * 84 // 100) + 1)
+    safe region — past ~95% kick chains start failing), rounded UP to
+    a power of two — the xor-involution requirement (see
+    CuckooFilter.__init__). The floor is deliberately tiny so tests
+    can size a filter into overflow; real sizing comes from the
+    caller's per-shard capacity (the wave loop floors it at
+    CrawlConfig.tier_min_per_shard)."""
+    need = per_shard // (CuckooFilter.SLOTS * 84 // 100) + 1
+    return max(4, 1 << (need - 1).bit_length())
 
 
 def build_cuckoo_shards(
@@ -403,6 +464,7 @@ def build_cuckoo_shards(
                 "n": [len(pdf)],
                 "n_fail": [fails],
                 "table": [cf.to_bytes()],
+                "n_shards": [n_shards],
             }
         )
 
@@ -413,46 +475,21 @@ def cuckoo_probe_sharded(
     candidates: DataFrame,
     cuckoo_df: DataFrame,
     url_col: str = "url",
-    n_shards: int = 16,
+    n_shards: int | None = None,
     probe_salt: int = 2,
 ) -> DataFrame:
     """Add ``maybe_seen`` via the shard-partitioned executor-side
-    cuckoo probe — identical cogroup shape to bloom_probe_sharded
-    (each task holds exactly ONE shard's fingerprint table; the
-    driver holds nothing). Negatives are exact as long as no insert
-    ever failed (track max(n_fail)); positives still need the exact
-    confirm."""
-    out_fields = list(candidates.schema.fields)
-    out_cols = [f.name for f in out_fields]
-    out_schema = T.StructType(out_fields + [T.StructField("maybe_seen", T.BooleanType())])
-    hashed = with_hashes(candidates, url_col, n_shards).withColumn(
-        "_salt", F.pmod(F.col("_h2"), F.lit(probe_salt)).cast("int")
-    )
-    blob_side = cuckoo_df.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(probe_salt)]))
-    )
+    cuckoo probe (see _probe_sharded for the shared scaffold).
+    Negatives are exact as long as no insert ever failed (track
+    max(n_fail)); positives still need the exact confirm."""
 
-    def probe(cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
-        if not len(cand):
-            return pd.DataFrame(columns=out_cols + ["maybe_seen"])
-        if not len(shard):
-            maybe = np.zeros(len(cand), dtype=bool)
-        else:
-            cf = CuckooFilter.from_bytes(
-                shard["table"].iloc[0], int(shard["n_buckets"].iloc[0])
-            )
-            maybe = cf.contains_many(
-                cand["_h1"].to_numpy(np.uint64), cand["_h2"].to_numpy(np.uint64)
-            )
-        out = cand[out_cols].copy()
-        out["maybe_seen"] = maybe
-        return out
+    def kernel(shard: pd.DataFrame, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        cf = CuckooFilter.from_bytes(
+            shard["table"].iloc[0], int(shard["n_buckets"].iloc[0])
+        )
+        return cf.contains_many(h1, h2)
 
-    return (
-        hashed.groupBy("_shard", "_salt")
-        .cogroup(blob_side.groupBy("shard", "_salt"))
-        .applyInPandas(probe, out_schema)
-    )
+    return _probe_sharded(candidates, cuckoo_df, kernel, url_col, n_shards, probe_salt)
 
 
 def _cuckoo_apply_shards(
@@ -460,18 +497,26 @@ def _cuckoo_apply_shards(
     urls: DataFrame,
     op: str,
     url_col: str,
-    n_shards: int,
+    n_shards: int | None,
     default_n_buckets: int,
 ) -> DataFrame:
     """Shared cogrouped maintenance: each task mutates ONE shard's
     fingerprint table with its wave of keys (hashing is JVM-side; the
     driver never sees a table). Shards with no keys pass through."""
+    if n_shards is None:
+        n_shards = table_n_shards(cuckoo_df)
     keys = with_hashes(urls.select(url_col), url_col, n_shards).select(
         "_shard", "_h1", "_h2"
     )
+    cols = [f.name for f in CUCKOO_SHARDS_SCHEMA.fields]
 
     def apply(new: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
         if not len(shard):
+            if op == "delete":
+                # nothing to delete from a shard that has no filter —
+                # fabricating an empty table row here would persist
+                # and shuffle forever (review r4)
+                return pd.DataFrame(columns=cols)
             sid = int(new["_shard"].iloc[0])
             n_buckets, n, n_fail = default_n_buckets, 0, 0
             cf = CuckooFilter(n_buckets)
@@ -496,6 +541,7 @@ def _cuckoo_apply_shards(
                 "n": [n],
                 "n_fail": [n_fail],
                 "table": [cf.to_bytes()],
+                "n_shards": [n_shards],
             }
         )
 
@@ -510,7 +556,7 @@ def cuckoo_insert_shards(
     cuckoo_df: DataFrame,
     urls: DataFrame,
     url_col: str = "url",
-    n_shards: int = 16,
+    n_shards: int | None = None,
     default_n_buckets: int = 16_384,
 ) -> DataFrame:
     """Next shard table with ``urls`` inserted — O(new keys + table
@@ -526,7 +572,7 @@ def cuckoo_delete_shards(
     cuckoo_df: DataFrame,
     urls: DataFrame,
     url_col: str = "url",
-    n_shards: int = 16,
+    n_shards: int | None = None,
     default_n_buckets: int = 16_384,
 ) -> DataFrame:
     """Next shard table with ``urls`` deleted (S9 delete / T4
@@ -543,7 +589,7 @@ def dedup_new_urls(
     seen_urls: DataFrame,
     url_col: str = "url",
     bloom_df: DataFrame | None = None,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     cuckoo_df: DataFrame | None = None,
     maybe_col: str | None = None,
     n_maybe: int | None = None,

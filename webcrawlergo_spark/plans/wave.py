@@ -821,7 +821,11 @@ class CrawlEngine:
                 metrics.append(
                     F.sum(
                         F.when(
-                            F.col("valid") & F.col("maybe_seen"), F.length("href")
+                            F.col("valid") & F.col("maybe_seen"),
+                            # octet_length, not length: chars undercount
+                            # multi-byte UTF-8 URLs by up to 4x — the
+                            # exact hazard the byte gate exists for
+                            F.octet_length("href"),
                         ).cast("long")
                     ).alias("maybe_bytes")
                 )
