@@ -92,6 +92,39 @@ def test_rollback_then_resume_matches(spark, web, web_dfs, default_run):
         assert _collect_state(res) == want
 
 
+def test_kill_and_resume_after_reshard(spark, web, web_dfs, default_run):
+    """r4 auto-sharding × T5: a crawl whose tier RESHARDED mid-run
+    (overflow rebuild picked a bigger shard count than cfg.n_shards)
+    is killed and resumed. The resumed engine must address the table
+    with the count it was BUILT with — read from the manifest meta
+    pins, not the config — or every probe routes keys to wrong
+    shards. Final state must match the uninterrupted exact run."""
+    base_cfg = dict(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+        seen_mode="bloom",
+        n_shards=2,
+        bloom_probe_min_seen=0,
+        tier_min_per_shard=4,        # tiny capacity → overflow rebuilds
+        tier_max_keys_per_shard=10,  # rebuilds pick ceil(seen/10) shards
+    )
+    want = _collect_state(default_run)
+    with tempfile.TemporaryDirectory() as ckpt:
+        CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt, max_waves=4),
+        ).run()
+        store = CheckpointStore(ckpt)
+        # non-vacuity: the kill happened AFTER a reshard beyond n_shards=2
+        assert int(store.latest()["meta"]["tier_shards"]) > 2
+        res = CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(**base_cfg, checkpoint_dir=ckpt),
+        ).run(resume=True)
+        assert _collect_state(res) == want
+
+
 def test_kill_and_resume_cuckoo_mode(spark, web, web_dfs, default_run):
     """T5 × X4 for the DELETABLE tier: kill/resume with
     seen_mode='cuckoo'. The fingerprint shard table round-trips the
