@@ -1,11 +1,17 @@
 """Dedup-operator guards that the SQL oracle can't express: the LSH
 candidate generators must actually GENERATE candidates on the fixture
 corpora (an empty bucket-collision set would make the oracle
-comparison pass vacuously without exercising the Jaccard arithmetic)."""
+comparison pass vacuously without exercising the Jaccard arithmetic),
+and the codegen regex shingler must equal the split-based definition
+the oracle uses."""
 
 from pyspark.sql import functions as F
 
-from webcrawlergo_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from webcrawlergo_spark.operators.dedup import (
+    _shingles,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -17,3 +23,40 @@ def test_lsh_candidate_sets_nonvacuous(spark):
         assert rows, f"{fn.__name__} produced no verified pairs on the fixture"
         # verified scores are true Jaccards: bounded and positive
         assert all(0.0 < r["jaccard"] <= 1.0 for r in rows)
+
+
+def _split_shingles(col, n):
+    """The r3 split+transform definition — the DuckDB oracle's exact
+    semantics, kept here as the reference the regex impl must match."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def test_regex_shingles_equal_split_definition(spark):
+    """The regex-lookahead shingler (one codegen pass, ~9× the HOF
+    speed) is bit-identical to the split-based oracle definition on
+    single-space-delimited text — the entire documents corpus plus
+    hand-picked edge strings (short docs, exactly-n tokens, repeats)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    edges = spark.createDataFrame(
+        [("",), ("one",), ("a b",), ("a b c",), ("a b c d",), ("x x x x x",)],
+        "text string",
+    )
+    for n in (2, 3):
+        for frame in (docs, edges):
+            bad = (
+                frame.select(
+                    F.array_sort(_shingles(F.col("text"), n=n)).alias("a"),
+                    F.array_sort(_split_shingles(F.col("text"), n=n)).alias("b"),
+                )
+                .filter("a != b")
+                .count()
+            )
+            assert bad == 0, f"n={n}: {bad} mismatching docs"
