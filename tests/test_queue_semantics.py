@@ -129,6 +129,24 @@ def test_with_host_seq_distributed_path_matches_window(spark):
     assert got == want
 
 
+def test_with_running_sum_distributed_path_matches_window(spark):
+    """The distributed global prefix sum (range partition + local
+    cumsum window + per-partition total offsets) must equal the plain
+    single-partition SUM() OVER window — BIG path (n_rows omitted),
+    uneven values so offset mistakes can't cancel out."""
+    from pyspark.sql import Window, functions as F
+
+    from webcrawlergo_spark.plans.rank import with_running_sum
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.pmod(F.col("id") * 7919, 251) + 1).alias("v")
+    )
+    got = {r["k"]: r["cum"] for r in with_running_sum(df, ["k"], "v", "cum").collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w).cast("long")).collect()}
+    assert got == want
+
+
 def test_salted_topk_per_group_matches_plain_window(spark):
     """The two-phase salted top-K (phase 1: per (group, salt); phase
     2: exact rank of the bounded survivors) must select exactly the

@@ -195,12 +195,67 @@ GROUP BY bucket ORDER BY bucket
 """
 
 
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def pack_documents(spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET) -> DataFrame:
+    """Sequence-packing plan (concat-and-chunk — the zero-padding
+    packing strategy): documents in doc_id order are laid head-to-tail
+    on a global token tape; training sequences are the tape cut every
+    ``budget`` tokens. Emits per doc its global start offset, the
+    sequence its first token lands in, and the offset within that
+    sequence — everything a pack-and-shard writer needs, and the stage
+    token_length_buckets profiles for.
+
+    Scale shape: the global running sum is the distributed
+    range-partition prefix sum (plans/rank.py::with_running_sum —
+    partition-local window + #partitions driver offsets), NEVER a
+    single-partition ``SUM() OVER (ORDER BY ...)``.
+    """
+    from ..plans.rank import with_running_sum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    summed = with_running_sum(base, ["doc_id"], "n_tokens", "cum_tokens")
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return (
+        summed.select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / budget).cast("long").alias("seq_id"),
+            (start % budget).cast("long").alias("seq_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_DOCUMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       start_offset % {PACK_BUDGET} AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "token_length_buckets": token_length_buckets,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
     "doc_fingerprint": fingerprint,
+    "pack_documents": pack_documents,
 }
 
 ORACLES = {
@@ -209,4 +264,5 @@ ORACLES = {
     "quality_score": QUALITY_SCORE_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
+    "pack_documents": PACK_DOCUMENTS_SQL,
 }

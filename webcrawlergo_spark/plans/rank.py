@@ -68,6 +68,61 @@ def with_global_rank(
     )
 
 
+def with_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    sum_col: str,
+    n_rows: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Add ``sum_col``: the INCLUSIVE running sum of ``value_col``
+    under ``order_cols`` — the global-prefix-sum sibling of
+    with_global_rank, same three-step recipe (range-partition,
+    partition-local window, per-partition offsets from a
+    #partitions-sized driver cumsum). A naive ``SUM() OVER (ORDER
+    BY ...)`` collapses to one partition; this stays parallel at
+    10^10 rows. Backs the sequence-packing planner (operators/
+    text.py::pack_documents)."""
+    if n_rows is not None and n_rows <= SMALL_BATCH:
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return df.withColumn(sum_col, F.sum(value_col).over(w).cast("long"))
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    parted = df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])
+    w = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local_sum", F.sum(value_col).over(w)
+    )
+    local = local.localCheckpoint(eager=True)  # pin the partition layout
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            sum_col,
+            (F.coalesce(F.col("_off"), F.lit(0)) + F.col("_local_sum")).cast("long"),
+        )
+        .drop("_pid", "_local_sum", "_off")
+    )
+
+
 def with_host_seq(
     df: DataFrame,
     host_col: str,
