@@ -42,9 +42,20 @@ def _split_shingles(col, n):
 def test_regex_shingles_equal_split_definition(spark):
     """The regex-lookahead shingler (one codegen pass, ~9× the HOF
     speed) is bit-identical to the split-based oracle definition on
-    single-space-delimited text — the entire documents corpus plus
-    hand-picked edge strings (short docs, exactly-n tokens, repeats)."""
+    clean single-space-delimited text — the entire documents corpus
+    plus hand-picked edge strings (short docs, exactly-n tokens,
+    repeats). Null-safe comparison so a NULL shingle array can never
+    pass vacuously (review r4)."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    # the corpus must BE clean, or the oracle equivalence claim is void
+    assert (
+        docs.filter(
+            F.col("text").rlike("  ")
+            | F.col("text").startswith(" ")
+            | F.col("text").endswith(" ")
+        ).count()
+        == 0
+    )
     edges = spark.createDataFrame(
         [("",), ("one",), ("a b",), ("a b c",), ("a b c d",), ("x x x x x",)],
         "text string",
@@ -56,7 +67,29 @@ def test_regex_shingles_equal_split_definition(spark):
                     F.array_sort(_shingles(F.col("text"), n=n)).alias("a"),
                     F.array_sort(_split_shingles(F.col("text"), n=n)).alias("b"),
                 )
-                .filter("a != b")
+                .filter(~F.col("a").eqNullSafe(F.col("b")))
                 .count()
             )
             assert bad == 0, f"n={n}: {bad} mismatching docs"
+
+
+def test_regex_shingles_boundary_space_divergence_is_as_documented(spark):
+    """Where split would produce EMPTY tokens (leading/trailing/double
+    spaces) the regex diverges from the split definition — pin the
+    exact behavior so it can never silently widen: leading/trailing
+    spaces are ignored, and a MULTI-space run is a hard break (no
+    shingle spans it — the window needs n tokens separated by single
+    spaces)."""
+    frame = spark.createDataFrame(
+        [(" a b c",), ("a b c ",), ("a  b c d",)], "text string"
+    )
+    rows = frame.select(
+        "text", F.array_sort(_shingles(F.col("text"), n=3)).alias("got")
+    ).collect()
+    want = {
+        " a b c": ["a b c"],
+        "a b c ": ["a b c"],
+        "a  b c d": ["b c d"],  # 'a' is cut off by the double space
+    }
+    for r in rows:
+        assert sorted(r["got"]) == want[r["text"]], (r["text"], r["got"])

@@ -45,12 +45,17 @@ def _shingles(col, n: int = SHINGLE):
     shape measured 2.8 s for 5,000 sf0.1 docs where the regex does
     0.3 s — it was the single largest cost in minhash_lsh_pairs.
     Semantics: identical to split-on-space shingling (the DuckDB
-    oracle's definition) for single-space-delimited text — `[^ ]+`
-    treats ONLY the space as delimiter, like split(' ') — except that
-    runs of consecutive spaces produce empty tokens under split and
-    are skipped here (equality on the actual corpus is asserted by
-    test_dedup_ops). Docs shorter than n tokens yield [] (the
-    lookahead never matches).
+    oracle's definition) for CLEAN single-space-delimited text —
+    `[^ ]+` treats ONLY the space as delimiter, like split(' ') —
+    except wherever split would produce EMPTY tokens: leading/
+    trailing spaces are ignored (split(' a b c') yields an empty
+    first token and the shingle ' a b'; the regex starts at 'a'), and
+    a run of 2+ spaces is a HARD BREAK — the window needs n tokens
+    separated by single spaces, so no shingle spans it. The corpus
+    contains none of these (asserted by test_dedup_ops, which also
+    pins the divergence behavior on boundary-space strings
+    explicitly). Docs shorter
+    than n tokens yield [] (the lookahead never matches).
     """
     pat = r"(?=(" + " ".join([r"[^ ]+"] * n) + r"))[^ ]+ ?"
     return F.array_distinct(F.regexp_extract_all(col, F.lit(pat), F.lit(1)))

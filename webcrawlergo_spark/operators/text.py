@@ -232,7 +232,12 @@ def pack_documents(spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET) 
     )
 
 
-PACK_DOCUMENTS_SQL = f"""
+def _pack_sql(budget: int) -> str:
+    """DuckDB twin of pack_documents, parameterized on the SAME budget
+    (the _lsh_sql pattern — a non-default budget needs this twin, the
+    static constant-budget string below is only the registered-oracle
+    instance)."""
+    return f"""
 WITH t AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents),
@@ -243,10 +248,13 @@ c AS (
            0) AS BIGINT) AS start_offset
   FROM t)
 SELECT doc_id, n_tokens, start_offset,
-       CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
-       start_offset % {PACK_BUDGET} AS seq_offset
+       CAST(floor(start_offset / {budget}.0) AS BIGINT) AS seq_id,
+       start_offset % {budget} AS seq_offset
 FROM c ORDER BY doc_id
 """
+
+
+PACK_DOCUMENTS_SQL = _pack_sql(PACK_BUDGET)
 
 
 QUERIES = {

@@ -20,6 +20,26 @@ from pyspark.sql import DataFrame, Window, functions as F
 SMALL_BATCH = 100_000
 
 
+def _prefix_offsets(local: DataFrame, per_pid_agg, start: int = 0) -> DataFrame:
+    """Per-partition offset table for the three-step prefix recipe:
+    aggregate one value per partition of the PINNED frame (count for
+    ranks, sum for running totals — #partitions rows, never #rows),
+    cumulative-sum it on the driver, return a broadcastable
+    (_pid, _off) frame. Shared by with_global_rank and
+    with_running_sum so the subtle offset logic exists once."""
+    totals = {
+        r["_pid"]: r["agg"]
+        for r in local.groupBy("_pid").agg(per_pid_agg.alias("agg")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    return local.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, start)], "_pid int, _off long"
+    )
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: list[str],
@@ -52,15 +72,7 @@ def with_global_rank(
     # localCheckpoint pins the partitioning: the count-per-partition pass
     # and the final pass must see identical partition layouts.
     local = local.localCheckpoint(eager=True)
-    counts = {r["_pid"]: r["cnt"] for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, start)], "_pid int, _off long"
-    )
+    off_df = _prefix_offsets(local, F.count("*"), start)
     return (
         local.join(F.broadcast(off_df), "_pid", "left")
         .withColumn(rank_col, (F.coalesce(F.col("_off"), F.lit(start)) + F.col("_local_rn") - 1).cast("long"))
@@ -83,14 +95,21 @@ def with_running_sum(
     #partitions-sized driver cumsum). A naive ``SUM() OVER (ORDER
     BY ...)`` collapses to one partition; this stays parallel at
     10^10 rows. Backs the sequence-packing planner (operators/
-    text.py::pack_documents)."""
+    text.py::pack_documents).
+
+    NULL contract: NULL values count as 0 and the running sum is
+    never NULL — identical on both paths (plain ``SUM() OVER`` would
+    instead return NULL until the first non-NULL value, and the
+    distributed recipe would otherwise NULL only at partition heads:
+    same input, path-dependent output — review r4)."""
+    v = F.coalesce(F.col(value_col), F.lit(0))
     if n_rows is not None and n_rows <= SMALL_BATCH:
         w = (
             Window.partitionBy(F.lit(0))
             .orderBy(*[F.col(c) for c in order_cols])
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        return df.withColumn(sum_col, F.sum(value_col).over(w).cast("long"))
+        return df.withColumn(sum_col, F.sum(v).over(w).cast("long"))
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     parted = df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])
     w = (
@@ -99,25 +118,18 @@ def with_running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_local_sum", F.sum(value_col).over(w)
+        "_local_sum", F.sum(v).over(w)
     )
     local = local.localCheckpoint(eager=True)  # pin the partition layout
-    totals = {
-        r["_pid"]: r["tot"]
-        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("tot")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += int(totals[pid] or 0)
-    off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)], "_pid int, _off long"
-    )
+    off_df = _prefix_offsets(local, F.sum(v))
     return (
         local.join(F.broadcast(off_df), "_pid", "left")
         .withColumn(
             sum_col,
-            (F.coalesce(F.col("_off"), F.lit(0)) + F.col("_local_sum")).cast("long"),
+            (
+                F.coalesce(F.col("_off"), F.lit(0))
+                + F.coalesce(F.col("_local_sum"), F.lit(0))
+            ).cast("long"),
         )
         .drop("_pid", "_local_sum", "_off")
     )
