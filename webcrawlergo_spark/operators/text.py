@@ -257,6 +257,52 @@ FROM c ORDER BY doc_id
 PACK_DOCUMENTS_SQL = _pack_sql(PACK_BUDGET)
 
 
+# RE2-and-Java-compatible email pattern (character classes + bounded
+# quantifier only — no lookarounds, so Spark and DuckDB agree exactly)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the data-hygiene stage of a training pipeline:
+    regex redaction of email addresses, with a redaction count and a
+    content hash of the scrubbed text (so the oracle verifies the
+    EXACT redaction output, not just a count). The synthetic corpus
+    carries no PII, so a deterministic contact line derived from
+    doc_id is appended first — identically in the oracle — making the
+    redaction provably fire twice on every row instead of passing
+    vacuously. All whole-stage-codegen regex; at 100 TB this is one
+    narrow map over the text column, no shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" or admin"), F.col("doc_id").cast("string"), F.lit("@test.org"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(contact, F.lit(EMAIL_RE), F.lit(0)))
+            .cast("long")
+            .alias("n_redacted"),
+            F.md5(F.regexp_replace(contact, EMAIL_RE, "<EMAIL>")).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' or admin' || CAST(doc_id AS VARCHAR) || '@test.org' AS c
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(c, '{EMAIL_RE}')) AS BIGINT) AS n_redacted,
+       md5(regexp_replace(c, '{EMAIL_RE}', '<EMAIL>', 'g')) AS scrubbed_md5
+FROM t ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "token_length_buckets": token_length_buckets,
     "lang_id": lang_id,
@@ -264,6 +310,7 @@ QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": fingerprint,
     "pack_documents": pack_documents,
+    "pii_scrub": pii_scrub,
 }
 
 ORACLES = {
@@ -273,4 +320,5 @@ ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "pack_documents": PACK_DOCUMENTS_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
 }
