@@ -393,6 +393,59 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# INT8 quantization — the storage-compression step of an embedding store
+# --------------------------------------------------------------------------
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax INT8 quantization: q_i = round(v_i / scale),
+    scale = max|v| / 127 — 4× smaller than float32 for a
+    billion-vector ANN store (dot products rescale by
+    scale_a·scale_b). Two portability/shape notes:
+
+    - rounding is spelled ``floor(x/scale + 0.5)``: Spark's round()
+      (HALF_UP) and DuckDB's round() do not agree bit-for-bit at
+      .5 boundaries; floor arithmetic is exact in both.
+    - the scale column is materialized behind a checkpoint BARRIER
+      before the per-element transform: CollapseProject would
+      otherwise inline the array_max expression into the lambda body,
+      where the interpreted HOF evaluator re-computes it PER ELEMENT
+      — O(dim²) per row (the r2 Catalyst lesson, BENCH.md).
+
+    Zero vectors quantize with scale=1 (guarded identically in the
+    oracle) instead of dividing by zero."""
+    vecs = _vecs(spark, sf_dir)
+    absmax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scaled = vecs.select(
+        "vec_id",
+        "v",
+        F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / 127).alias("scale"),
+    ).localCheckpoint(eager=True)
+    return (
+        scaled.select(
+            "vec_id",
+            F.round("scale", 6).alias("scale_6"),
+            F.transform(
+                "v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")
+            ).alias("q"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127 END AS scale
+      FROM v)
+SELECT vec_id, round(scale, 6) AS scale_6,
+       list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
+FROM s ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -400,6 +453,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ivf_cells": ivf_cells,
     "ivf_topk": ivf_topk,
+    "embedding_quantize": embedding_quantize,
 }
 
 ORACLES = {
@@ -409,4 +463,5 @@ ORACLES = {
     "embedding_neardup_pairs": EMB_NEARDUP_SQL,
     "ivf_cells": IVF_CELLS_SQL,
     "ivf_topk": IVF_TOPK_SQL,
+    "embedding_quantize": EMB_QUANTIZE_SQL,
 }
