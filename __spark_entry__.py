@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from webcrawlergo_spark.multimodal import (
     FRAME_SAMPLE_SQL,
+    IMAGE_DECODE_STATS_SQL,
     MULTIMODAL_META_SQL,
     WAV_DECODE_STATS_SQL,
     frame_sample_plan,
+    image_decode_stats,
     multimodal_meta,
     wav_decode_stats,
 )
@@ -240,6 +242,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_latest_pages(spark, "/root/testdata/sf0.001")
 
 
+# Redundant entries retired from the DRIVER surface (r4: the driver
+# records only the first 50 queries() entries, so every slot counts).
+# Each is subsumed by a live entry — latest_pages_count by
+# latest_pages (same plan + trivial agg), ann_lsh_buckets by
+# ann_lsh_topk, ivf_cells by ivf_topk — and all three remain covered
+# by pytest + tools/compare.py (which merges retired_queries()).
+RETIRED_FROM_DRIVER = ("latest_pages_count", "ann_lsh_buckets", "ivf_cells")
+
+# Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
+# insertion position 50, silently dropping the two freshest entries.
+EARLY_ORDER = (
+    "wav_decode_stats",
+    "image_decode_stats",
+    "frame_sample_plan",
+    "embedding_quantize",
+    "multimodal_meta",
+    "sessionize_stateful_stream",
+    "events_tumbling_agg",
+    "crawl_bfs_depth",
+    "link_extract_spans",
+    "latest_pages",
+)
+
+
+def _reorder(full: dict) -> dict:
+    out = {k: full.pop(k) for k in EARLY_ORDER if k in full}
+    for k in RETIRED_FROM_DRIVER:
+        full.pop(k, None)
+    out.update(full)
+    return out
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle queries kept off the driver's 50-row window but still
+    exercised by tools/compare.py and pytest."""
+    return {
+        "latest_pages_count": q_latest_pages_count,
+        "ann_lsh_buckets": sim.QUERIES["ann_lsh_buckets"],
+        "ivf_cells": sim.QUERIES["ivf_cells"],
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "latest_pages": q_latest_pages,
@@ -285,7 +329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # RIFF parser in mapInPandas, decoded-PCM md5 vs the oracle's
     # md5 of the original payload (multimodal.py r4)
     q["wav_decode_stats"] = wav_decode_stats
-    return q
+    # real image decode end-to-end (r5): JVM-built P6 container,
+    # numpy PNM parser in mapInPandas, decoded-raster md5 vs oracle
+    q["image_decode_stats"] = image_decode_stats
+    return _reorder(q)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -434,4 +481,5 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_meta"] = MULTIMODAL_META_SQL
     o["frame_sample_plan"] = FRAME_SAMPLE_SQL
     o["wav_decode_stats"] = WAV_DECODE_STATS_SQL
+    o["image_decode_stats"] = IMAGE_DECODE_STATS_SQL
     return o

@@ -93,3 +93,20 @@ def test_regex_shingles_boundary_space_divergence_is_as_documented(spark):
     }
     for r in rows:
         assert sorted(r["got"]) == want[r["text"]], (r["text"], r["got"])
+
+
+def test_shingles_null_text_yields_empty_array(spark):
+    """ADVICE r4: NULL text must shingle to [] (the pre-regex split/
+    transform contract), not NULL — downstream explode/minhash relies
+    on empty-not-null."""
+    from pyspark.sql import functions as F
+
+    from webcrawlergo_spark.operators.dedup import _shingles
+
+    df = spark.createDataFrame(
+        [("a b c d e f",), (None,), ("",)], "text string"
+    ).select(_shingles(F.col("text")).alias("sh"))
+    rows = df.collect()
+    assert all(r["sh"] is not None for r in rows)
+    assert rows[1]["sh"] == [] and rows[2]["sh"] == []
+    assert len(rows[0]["sh"]) > 0

@@ -176,3 +176,34 @@ def test_cuckoo_no_false_negatives_for_inserted():
     h2 = rng.integers(0, 2**63, 8000, dtype=np.int64).astype(np.uint64)
     assert cf.insert_many(h1, h2) == 0
     assert cf.contains_many(h1, h2).all()
+
+
+def test_cascade_delete_of_unseen_urls_never_evicts_foreign_fingerprints(spark):
+    """ADVICE r4: the cascade must feed the cuckoo tier only keys that
+    were actually inserted (victims ∩ seen). Deleting never-inserted
+    keys can evict a COLLIDING fingerprint belonging to a different
+    URL — with 5,000 foreign deletes against a 300-key tier a
+    collision is near-certain, so under the bug some still-seen URL
+    would probe falsely-new below."""
+    seen_urls = [f"https://h.test/s{i}" for i in range(300)]
+    foreign = [f"https://h.test/f{i}" for i in range(5000)]
+    urls = spark.createDataFrame(
+        [(i, u, False, True) for i, u in enumerate(seen_urls + foreign)],
+        "id long, url string, is_monitored boolean, is_alive boolean",
+    )
+    pages = spark.createDataFrame([(0, 0)], "id long, url_id long")
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    cuckoo_df = build_cuckoo_shards(seen, n_shards=4).localCheckpoint(eager=True)
+    assert cuckoo_df.agg(F.max("n_fail")).collect()[0][0] == 0
+
+    targets = spark.createDataFrame([(u,) for u in foreign], "url string")
+    out = delete_urls_cascade(
+        urls, pages, targets, seen=seen, cuckoo_df=cuckoo_df, n_shards=4
+    )
+    cuckoo2 = out["cuckoo"].localCheckpoint(eager=True)
+    # tier population untouched (no foreign key was ever inserted) ...
+    assert cuckoo2.agg(F.sum("n")).collect()[0][0] == 300
+    # ... and every still-seen URL still probes positive: nothing is
+    # falsely "new" (cuckoo negatives are trusted without confirm)
+    falsely_new = dedup_new_urls(seen, out["seen"], cuckoo_df=cuckoo2, n_shards=4)
+    assert falsely_new.count() == 0

@@ -5,6 +5,7 @@ WAV decoder: container round-trip, pinned features, and the
 JVM-built container parsing end-to-end."""
 
 import hashlib
+import tempfile
 
 import numpy as np
 import pytest
@@ -163,3 +164,72 @@ def test_feature_extraction_is_deterministic(spark):
     a = sorted(map(tuple, ((r["doc_id"], tuple(r["feat"])) for r in extract_features(attach_blob(docs)).collect())))
     b = sorted(map(tuple, ((r["doc_id"], tuple(r["feat"])) for r in extract_features(attach_blob(docs).repartition(7)).collect())))
     assert a == b
+
+
+def test_wav_decoder_rejects_overrunning_chunk_size():
+    """ADVICE r4: a corrupt chunk size must fail loudly, never
+    silently truncate the payload or skip chunks."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from webcrawlergo_spark.multimodal import wav_bytes
+
+    good = wav_bytes(np.arange(100, dtype=np.uint8), 8000)
+    # corrupt the data-chunk size field (last length field before the
+    # payload) to claim more bytes than the container holds
+    idx = good.rindex(b"data") + 4
+    bad = good[:idx] + struct.pack("<I", 10_000) + good[idx + 4 :]
+    with pytest.raises(ValueError, match="overruns"):
+        decode_blob(bad, "audio/wav")
+
+
+def test_pnm_decoder_roundtrips_p5_p6():
+    """Real PNM parse: P6 RGB and P5 gray, 8- and 16-bit, plus header
+    comments/whitespace — decode(encode(x)) == x."""
+    from webcrawlergo_spark.multimodal import _decode_pnm, pnm_bytes
+
+    rgb = (np.arange(2 * 5 * 3, dtype=np.uint8) * 3).reshape(2, 5, 3)
+    got, maxval = decode_blob(pnm_bytes(rgb), "image/x-portable-pixmap")
+    assert maxval == 255 and got.shape == (2, 5, 3) and (got == rgb).all()
+
+    gray16 = (np.arange(12) * 999).astype(">u2").reshape(3, 4)
+    got, maxval = _decode_pnm(pnm_bytes(gray16, maxval=65535))
+    assert maxval == 65535 and got.dtype == np.dtype(">u2") and (got == gray16).all()
+
+    # header grammar: comments and runs of whitespace between tokens
+    blob = b"P5 # a comment\n# another\n 4\t2 #w h\n255\n" + bytes(range(8))
+    got, maxval = _decode_pnm(blob)
+    assert got.shape == (2, 4) and got.tobytes() == bytes(range(8))
+
+
+def test_pnm_decoder_rejects_short_raster_and_bad_header():
+    from webcrawlergo_spark.multimodal import _decode_pnm, pnm_bytes
+
+    good = pnm_bytes(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="raster"):
+        _decode_pnm(good[:-1])
+    with pytest.raises(ValueError, match="P5/P6"):
+        _decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM: not supported
+    with pytest.raises(ValueError, match="header"):
+        _decode_pnm(b"P6\n4 2")  # truncated header
+
+
+def test_image_decode_stats_recovers_padded_payload(spark):
+    """End-to-end P6 path on a tiny docs frame: JVM container → numpy
+    decode → md5(decoded raster) == md5(payload + pad)."""
+    import pandas as pd
+
+    from webcrawlergo_spark.multimodal import image_decode_stats
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcde"), (3, "x")], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        rows = {r["doc_id"]: r for r in image_decode_stats(spark, d).collect()}
+    assert rows[1]["width"] == 2 and rows[1]["pixels_md5"] == hashlib.md5(b"abcdef").hexdigest()
+    assert rows[2]["width"] == 2 and rows[2]["pixels_md5"] == hashlib.md5(b"abcde ").hexdigest()
+    assert rows[3]["width"] == 1 and rows[3]["pixels_md5"] == hashlib.md5(b"x  ").hexdigest()
+    assert all(r["height"] == 1 and r["channels"] == 3 and r["maxval"] == 255 for r in rows.values())

@@ -181,3 +181,30 @@ def test_kill_and_resume_bloom_mode(spark, web, web_dfs, default_run):
             CrawlConfig(**base_cfg, checkpoint_dir=ckpt),
         ).run(resume=True)
         assert _collect_state(res) == want
+
+
+def test_amend_never_clobbers_and_history_is_atomic(spark, tmp_path):
+    """ADVICE r4: (a) amend() must not overwrite an existing snapshot
+    dir (a historical manifest may still reference it after rollback +
+    re-run) — it suffixes an attempt counter instead; (b) history
+    manifests are written tmp+rename (no partial file on crash)."""
+    import os
+
+    store = CheckpointStore(str(tmp_path / "ck"), keep_last=10)
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    store.commit(1, {"t": df})
+
+    m1 = store.amend("t", df.filter("id < 7"), "rebuild=1")
+    p1 = m1["tables"]["t"]
+    m2 = store.amend("t", df.filter("id < 3"), "rebuild=1")
+    p2 = m2["tables"]["t"]
+    assert p1 != p2 and p2.endswith("rebuild=1.1")
+    # the first amend's data is untouched and still readable
+    assert spark.read.parquet(p1).count() == 7
+    assert store.load(spark, "t").count() == 3
+    # no .tmp residue: every manifest write went through os.replace
+    assert not [f for f in os.listdir(store.root) if f.endswith(".tmp")]
+    # GC still parses the suffixed tag's wave id (keeps, not leaks)
+    store.commit(2, {"t": df})
+    store._gc(keep_wave=2, keep_last=1)
+    assert not os.path.exists(p2)  # aged out with wave 1

@@ -104,7 +104,10 @@ def run_compare(sf_dir: str, only: list[str] | None = None) -> int:
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # retired-from-driver queries stay locally verified
+    if hasattr(entrymod, "retired_queries"):
+        qs.update(entrymod.retired_queries())
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():

@@ -58,7 +58,13 @@ def _shingles(col, n: int = SHINGLE):
     than n tokens yield [] (the lookahead never matches).
     """
     pat = r"(?=(" + " ".join([r"[^ ]+"] * n) + r"))[^ ]+ ?"
-    return F.array_distinct(F.regexp_extract_all(col, F.lit(pat), F.lit(1)))
+    # NULL text → [] (not NULL): the pre-r4 split/transform spelling
+    # returned [] for NULL input and downstream explode/minhash relies
+    # on that contract (ADVICE r4); regexp_extract_all propagates NULL.
+    return F.coalesce(
+        F.array_distinct(F.regexp_extract_all(col, F.lit(pat), F.lit(1))),
+        F.array().cast("array<string>"),
+    )
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:

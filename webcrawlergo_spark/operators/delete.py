@@ -51,10 +51,16 @@ def delete_urls_cascade(
     if seen is not None:
         out["seen"] = seen.join(victims.select("url"), "url", "left_anti")
         if cuckoo_df is not None:
-            # forget the keys in the approximate tier too — only ever
-            # previously-inserted keys (they came from `seen`); one
-            # cogrouped job, each task touching ONE shard's table
+            # forget the keys in the approximate tier too — but ONLY
+            # keys actually inserted (semi-join against `seen`):
+            # cuckoo-deleting a never-inserted key can evict a
+            # colliding fingerprint that belongs to a DIFFERENT url,
+            # silently un-seeing it (ADVICE r4). One cogrouped job,
+            # each task touching ONE shard's table.
+            inserted = victims.select("url").join(
+                seen.select("url"), "url", "left_semi"
+            )
             out["cuckoo"] = cuckoo_delete_shards(
-                cuckoo_df, victims.select("url"), n_shards=n_shards
+                cuckoo_df, inserted, n_shards=n_shards
             )
     return out

@@ -57,14 +57,13 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — the corpus side streams, nothing shuffles until the
     per-query top-k (a tiny TakeOrdered per group).
     """
-    vecs = _vecs(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir).withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     pairs = vecs.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    # norms precomputed per vector (one narrow map), one fold per pair
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -158,24 +157,37 @@ def lsh_topk(vecs: DataFrame, n_queries: int = N_QUERIES, radius: int = MULTIPRO
     plain equi-join on bucket — one shuffle/partition key at 10^10
     rows, identical to the single-probe plan. A corpus vector matches
     at most one mask per query (probe buckets are distinct), so no
-    dedup pass is needed."""
-    vecs = vecs.withColumn("bucket", _bucket_col(F.col("v")).cast("int"))
+    dedup pass is needed.
+
+    Multi-probe cost control (r5, VERDICT item 4): the ~9× candidate
+    expansion made the per-candidate cosine the bottleneck — and 2 of
+    its 3 array folds were NORMS, recomputed per candidate by the
+    interpreted HOF evaluator (no common-subexpr elimination across
+    rows). Norms depend only on the vector, so they're precomputed in
+    the same narrow map that buckets the corpus (O(corpus), once) and
+    each candidate pays ONE fold (the dot). sqrt/product order is
+    unchanged, so scores stay bit-identical to the oracle's
+    sqrt(qq)*sqrt(vv) spelling."""
+    vecs = vecs.select(
+        "vec_id", "v",
+        _bucket_col(F.col("v")).cast("int").alias("bucket"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
     q = vecs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
     masks = vecs.sparkSession.createDataFrame(
         [(m,) for m in _probe_masks(radius)], "mask int"
     )
     probes = q.crossJoin(masks).select(
-        "query_id", "qv", F.col("qb").bitwiseXOR(F.col("mask")).alias("pb")
+        "query_id", "qv", "nq", F.col("qb").bitwiseXOR(F.col("mask")).alias("pb")
     )
     cand = vecs.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -220,15 +232,19 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets —
     the embedding-space analog of minhash_lsh_pairs."""
-    vecs = _vecs(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("v")).cast("int"))
+    vecs = _vecs(spark, sf_dir).select(
+        "vec_id", "v",
+        _bucket_col(F.col("v")).cast("int").alias("bucket"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
     a = vecs.alias("a")
     b = vecs.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b")
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("bucket").alias("bucket_b"), F.col("nv").alias("nb"),
     ).alias("b")
     pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id") < F.col("vec_b")))
-    cos = _dot(F.col("v"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
+    # norms precomputed per vector (one narrow map), one fold per pair
+    cos = _dot(F.col("v"), F.col("vb")) / (F.col("nv") * F.col("nb"))
     return (
         pairs.select(F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 6).alias("score"))
         .filter(F.col("score") >= threshold)
@@ -310,28 +326,29 @@ def ivf_topk_frames(vecs: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
     """IVF search over a (vec_id, v) frame (see ivf_topk)."""
     cents, assign = _cells(vecs)
     qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nq"),
     )
     qcos = _dot(F.col("qv"), F.col("cv")) / (
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
     qaff = qv.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "cell", F.round(qcos, 6).alias("aff")
+        "query_id", "qv", "nq", "cell", F.round(qcos, 6).alias("aff")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
     probes = (
         qaff.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "nq", "cell")
     )
     cand = (
         assign.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .join(vecs, "vec_id")
+        .join(vecs.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v")))), "vec_id")
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    # norms precomputed per vector/query (see lsh_topk r5 note):
+    # one interpreted fold per candidate instead of three
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -406,7 +423,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - rounding is spelled ``floor(x/scale + 0.5)``: Spark's round()
       (HALF_UP) and DuckDB's round() do not agree bit-for-bit at
-      .5 boundaries; floor arithmetic is exact in both.
+      .5 boundaries; floor arithmetic is exact in both. The same
+      portable rounding produces ``scale_6``.
+    - the quantized vector leaves as ONE scalar column (``q_csv``,
+      comma-joined) — the driver's comparator canonicalizes via
+      pandas and cannot hash list-valued cells (the r4 red row);
+      the minhash family set this scalar-output convention.
     - the scale column is materialized behind a checkpoint BARRIER
       before the per-element transform: CollapseProject would
       otherwise inline the array_max expression into the lambda body,
@@ -425,10 +447,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scaled.select(
             "vec_id",
-            F.round("scale", 6).alias("scale_6"),
-            F.transform(
-                "v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")
-            ).alias("q"),
+            (F.floor(F.col("scale") * 1e6 + 0.5) / 1e6).alias("scale_6"),
+            F.array_join(
+                F.transform(
+                    "v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")
+                ).cast("array<string>"),
+                ",",
+            ).alias("q_csv"),
         )
         .orderBy("vec_id")
     )
@@ -440,8 +465,10 @@ s AS (SELECT vec_id, v,
              CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
                   ELSE list_max(list_transform(v, x -> abs(x))) / 127 END AS scale
       FROM v)
-SELECT vec_id, round(scale, 6) AS scale_6,
-       list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
+SELECT vec_id, floor(scale * 1e6 + 0.5) / 1e6 AS scale_6,
+       array_to_string(
+           list_transform(v, x -> CAST(CAST(floor(x / scale + 0.5) AS INTEGER) AS VARCHAR)),
+           ',') AS q_csv
 FROM s ORDER BY vec_id
 """
 

@@ -39,6 +39,17 @@ class CheckpointStore:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "_manifest.json")
 
+    @staticmethod
+    def _write_json_atomic(path: str, obj: dict) -> None:
+        """tmp + os.replace for EVERY manifest file — the history
+        manifests rollback() depends on get the same crash-safety as
+        the current-pointer flip (ADVICE r4: a crash mid-write of
+        _manifest-<wave>.json corrupted the rollback window)."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
     def latest(self) -> dict | None:
         """The last committed manifest, or None."""
         if not os.path.exists(self._manifest_path):
@@ -104,13 +115,11 @@ class CheckpointStore:
             path = os.path.join(self.root, name, f"wave={wave_id}")
             df.write.mode("overwrite").parquet(path)
             entry["append_tables"].setdefault(name, []).append(path)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        os.replace(tmp, self._manifest_path)  # atomic pointer flip
+        self._write_json_atomic(self._manifest_path, entry)  # atomic pointer flip
         # snapshot history for rollback (Iceberg snapshot log analog)
-        with open(os.path.join(self.root, f"_manifest-{wave_id}.json"), "w") as f:
-            json.dump(entry, f)
+        self._write_json_atomic(
+            os.path.join(self.root, f"_manifest-{wave_id}.json"), entry
+        )
         self._gc(keep_wave=wave_id, protect=entry["append_tables"])
         return entry
 
@@ -132,17 +141,24 @@ class CheckpointStore:
         m = self.latest()
         if m is None:
             raise ValueError("amend before any commit")
+        # never overwrite an existing snapshot dir: after a rollback +
+        # re-run reaching the same wave id, a historical manifest may
+        # still reference <tag>; clobbering it would corrupt that
+        # snapshot (ADVICE r4). Suffix an attempt counter instead —
+        # GC parses the leading wave id either way.
         path = os.path.join(self.root, table, tag)
+        attempt = 0
+        while os.path.exists(path):
+            attempt += 1
+            path = os.path.join(self.root, table, f"{tag}.{attempt}")
         df.write.mode("overwrite").parquet(path)
         m["tables"][table] = path
         if meta:
             m["meta"].update(meta)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path)
-        with open(os.path.join(self.root, f"_manifest-{m['wave_id']}.json"), "w") as f:
-            json.dump(m, f)
+        self._write_json_atomic(self._manifest_path, m)
+        self._write_json_atomic(
+            os.path.join(self.root, f"_manifest-{m['wave_id']}.json"), m
+        )
         return m
 
     def load(self, spark: SparkSession, table: str) -> DataFrame | None:
@@ -165,15 +181,15 @@ class CheckpointStore:
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
-            # snapshot dirs are <kind>=<wave_id> (wave=N commits,
-            # rebuild=N amends) — age by wave id, keep the last
-            # keep_last ids, whatever kind wrote them
+            # snapshot dirs are <kind>=<wave_id>[.<attempt>] (wave=N
+            # commits, rebuild=N / rebuild=N.k amends) — age by wave
+            # id, keep the last keep_last ids, whatever kind wrote them
             snaps: list[tuple[int, str]] = []
             for d in os.listdir(tdir):
                 if "=" not in d:
                     continue
                 try:
-                    snaps.append((int(d.split("=")[1]), d))
+                    snaps.append((int(d.split("=")[1].split(".")[0]), d))
                 except ValueError:
                     continue
             keep_ids = set(sorted({w for w, _ in snaps})[-keep_last:])
