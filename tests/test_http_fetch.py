@@ -1,0 +1,119 @@
+"""S1 real-fetch seam: the mapInPandas HTTP fetch operator against an
+in-process HTTP server serving the SAME synthetic universe, compared
+bit-for-bit with the fetch-sim crawl (VERDICT r4 item 2).
+
+Also covers: HTML span-document serialization round-trip (the north
+rule's span-sequence invariant over the wire), robots.txt fetch with
+Google's 429/5xx hard-fail policy, and transport-failure retry
+semantics driven by REAL connection closes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawlergo_spark.operators.fetch import http_fetch_robots, make_http_fetcher
+from webcrawlergo_spark.plans.wave import CrawlConfig, CrawlEngine
+from webcrawlergo_spark.sources.httpweb import (
+    SynthWebServer,
+    parse_html_doc,
+    render_html,
+)
+
+
+def _collect_state(res):
+    return {
+        "events": res.event_order(),
+        "crawl": res.crawl_order(),
+        "seen": sorted(r["url"] for r in res.seen.collect()),
+        "pages": [(r["url"], r["doc_id"]) for r in res.pages.orderBy("event_rank").collect()],
+        "urls": sorted(
+            (r["url"], r["is_monitored"], r["is_alive"]) for r in res.urls.collect()
+        ),
+    }
+
+
+def test_html_roundtrip_preserves_span_sequence(web):
+    """render → parse recovers (kind, text, media_ref, offset) exactly
+    for every page, including the pages whose text embeds <a href>
+    markup, quotes, and entities."""
+    for url, page in web.pages.items():
+        doc_id, spans = parse_html_doc(render_html(page["doc_id"], page["spans"]))
+        assert doc_id == page["doc_id"], url
+        want = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in page["spans"]
+        ]
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        assert got == want, url
+
+
+def test_real_http_crawl_matches_fetch_sim_bit_for_bit(spark, web, web_dfs, default_run):
+    """The flagship parity gate: the REAL fetch path (GET over
+    localhost, keep-alive pools, real transport failures, HTML parsed
+    off the wire) reproduces the fetch-sim crawl exactly — event
+    order, crawl order, seen set, saved pages, registry."""
+    with SynthWebServer(web) as srv:
+        port = srv.port
+        fetcher = make_http_fetcher(resolve=lambda host, p=port: ("127.0.0.1", p))
+        robots = http_fetch_robots(
+            ["host0.test"], resolve=lambda host, p=port: ("127.0.0.1", p)
+        )
+        assert robots[0][1] == web.robots_txt and robots[0][2] == 200
+        cfg = CrawlConfig(
+            base_url=web.base_url,
+            marked_paths=web.marked_paths,
+            ignore_patterns=web.ignore_patterns,
+        )
+        res = CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], robots, cfg, fetcher=fetcher
+        ).run()
+        assert _collect_state(res) == _collect_state(default_run)
+
+
+def test_robots_hard_fail_statuses(web):
+    """429 / ≥500 robots → hard fail; 404 → crawl-allowed empty rules
+    (reference crawler.go:489-508, Google policy)."""
+    with SynthWebServer(web, robots_status=503) as srv:
+        with pytest.raises(RuntimeError, match="503"):
+            http_fetch_robots(["host0.test"], resolve=lambda h: ("127.0.0.1", srv.port))
+    with SynthWebServer(web, robots_status=429) as srv:
+        with pytest.raises(RuntimeError, match="429"):
+            http_fetch_robots(["host0.test"], resolve=lambda h: ("127.0.0.1", srv.port))
+    with SynthWebServer(web, robots_status=404) as srv:
+        rows = http_fetch_robots(["host0.test"], resolve=lambda h: ("127.0.0.1", srv.port))
+        assert rows == [("host0.test", "", 404)]
+
+
+def test_fetch_operator_columns_and_transport_fail(spark, web):
+    """Operator-level contract: passthrough columns + (doc_id,
+    http_status, transport_fail, spans); a URL with fail_times=1
+    transport-fails at attempt 0 (server closes the connection) and
+    succeeds at attempt 1 — REAL retry semantics, same rule fetch-sim
+    derives arithmetically."""
+    flaky = next(
+        url for url, p in web.pages.items() if p["fail_times"] == 1 and p["status"] == 200
+    )
+    solid = web.base_url
+    with SynthWebServer(web) as srv:
+        port = srv.port
+        fetcher = make_http_fetcher(resolve=lambda host, p=port: ("127.0.0.1", p))
+        batch = spark.createDataFrame(
+            [(flaky, "host0.test", 0), (flaky, "host0.test", 1),
+             (solid, "host0.test", 0), (solid + "/nope", "host0.test", 0)],
+            "url string, host string, retry_count int",
+        )
+        rows = {
+            (r["url"], r["retry_count"]): r
+            for r in fetcher(batch).collect()
+        }
+        assert rows[(flaky, 0)]["transport_fail"] is True
+        assert rows[(flaky, 1)]["transport_fail"] is False
+        assert rows[(flaky, 1)]["http_status"] == 200
+        got_spans = rows[(flaky, 1)]["spans"]
+        want = web.pages[flaky]["spans"]
+        assert [(s["kind"], s["offset"]) for s in got_spans] == [
+            (s["kind"], s["offset"]) for s in want
+        ]
+        assert rows[(solid, 0)]["http_status"] == 200
+        assert rows[(solid, 0)]["doc_id"] == "docroot"
+        nf = rows[(solid + "/nope", 0)]
+        assert nf["http_status"] == 404 and nf["transport_fail"] is False and nf["spans"] is None

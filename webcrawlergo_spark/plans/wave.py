@@ -236,10 +236,12 @@ class CrawlEngine:
         docs: DataFrame,        # (doc_id, spans)
         robots_rows: list[tuple[str, str, int]],  # (host, robots_txt, status)
         config: CrawlConfig,
+        fetcher=None,  # None → fetch-sim join; else operators/fetch.py seam
     ):
         self.spark = spark
         self.web_index = web_index
         self.docs = docs
+        self.fetcher = fetcher
         self.cfg = config
         self.base_host = config.base_url.split("://", 1)[1].split("/", 1)[0].split(":")[0]
         self._rules_df = parse_robots_rules(spark, robots_rows, user_agent=config.user_agent)
@@ -262,6 +264,13 @@ class CrawlEngine:
 
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
+
+    def _with_spans(self, df: DataFrame) -> DataFrame:
+        """Attach page content: fetch-sim rows join the docs table by
+        doc_id; real-fetch rows already carry ``spans`` off the wire."""
+        if self.fetcher is not None:
+            return df
+        return df.join(self.docs, "doc_id")
 
     # -- seen-filter tier dispatch (bloom | cuckoo) -------------------------
     # One wave-loop code path serves both approximate tiers; these
@@ -578,32 +587,59 @@ class CrawlEngine:
                 n_events = n_frontier
                 n_deferred = 0
 
-            # fetch-sim (S1) joins FIRST (1:1 left joins don't disturb
-            # ordering), so the rank's materialization and the sim
-            # checkpoint are one pass over one wide frame
-            web = self.web_index.select(
-                "url", F.col("doc_id").alias("_doc_id"),
-                F.col("status").alias("_status"), F.col("fail_times").alias("_ft"),
-            )
-            sim = batch.join(web, "url", "left")
-            if flags_live:
-                sim = sim.join(fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left")
+            # fetch step (S1). Two modes behind one column contract:
+            # fetch-sim JOINS the web_index (1:1 left joins don't
+            # disturb ordering), so the rank's materialization and the
+            # sim checkpoint are one pass over one wide frame; the
+            # REAL fetcher (operators/fetch.py) passes fetch columns
+            # through inline from mapInPandas — same columns, plus the
+            # content itself ("spans") riding the fetch event instead
+            # of a doc_id join (what a crawler actually transports).
+            if self.fetcher is not None:
+                fr = self.fetcher(batch)
+                if flags_live:
+                    fr = fr.join(fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left")
+                else:
+                    fr = fr.withColumn("_flag_in", F.lit(False))
+                sim = fr.select(
+                    *[F.col(c) for c in batch.columns],
+                    "doc_id",
+                    "http_status",
+                    # real transport outcomes replace the sim's derived
+                    # retry_count < fail_times rule below
+                    F.col("transport_fail").alias("_tfail"),
+                    "spans",
+                    F.coalesce(F.col("_flag_in"), F.lit(False)).alias("flag_in"),
+                )
             else:
-                sim = sim.withColumn("_flag_in", F.lit(False))
-            sim = sim.select(
-                *[F.col(c) for c in batch.columns],
-                F.col("_doc_id").alias("doc_id"),
-                F.coalesce(F.col("_status"), F.lit(404)).alias("http_status"),
-                F.coalesce(F.col("_ft"), F.lit(0)).alias("fail_times"),
-                F.coalesce(F.col("_flag_in"), F.lit(False)).alias("flag_in"),
-            )
+                web = self.web_index.select(
+                    "url", F.col("doc_id").alias("_doc_id"),
+                    F.col("status").alias("_status"), F.col("fail_times").alias("_ft"),
+                )
+                sim = batch.join(web, "url", "left")
+                if flags_live:
+                    sim = sim.join(fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left")
+                else:
+                    sim = sim.withColumn("_flag_in", F.lit(False))
+                sim = sim.select(
+                    *[F.col(c) for c in batch.columns],
+                    F.col("_doc_id").alias("doc_id"),
+                    F.coalesce(F.col("_status"), F.lit(404)).alias("http_status"),
+                    F.coalesce(F.col("_ft"), F.lit(0)).alias("fail_times"),
+                    F.coalesce(F.col("_flag_in"), F.lit(False)).alias("flag_in"),
+                )
             # FIFO clock: global event ranks for this wave
             sim = with_global_rank(
                 sim, ["parent_rank", "span_offset", "link_pos"], "event_rank",
                 start=event_base, n_rows=n_events,
             )
             event_base += n_events
-            sim = sim.withColumn("transport_fail", F.col("retry_count") < F.col("fail_times"))
+            if self.fetcher is not None:
+                sim = sim.withColumnRenamed("_tfail", "transport_fail")
+            else:
+                sim = sim.withColumn(
+                    "transport_fail", F.col("retry_count") < F.col("fail_times")
+                )
             if flags_live:
                 # the map value a dequeue observes: entering flag, unless
                 # an earlier event of the same URL *this wave* consumed it
@@ -692,7 +728,7 @@ class CrawlEngine:
             # already coalesced upstream partitions to its advisory size
             # — redistribute so canonicalize/validate run at full width.
             raw_links = extract_links(
-                ok.join(self.docs, "doc_id").select("url", "event_rank", "depth", "spans"),
+                self._with_spans(ok).select("url", "event_rank", "depth", "spans"),
                 id_cols=["url", "event_rank", "depth"],
             ).withColumnRenamed("url", "parent_url")
 
@@ -704,7 +740,7 @@ class CrawlEngine:
                     ),
                 )
                 toks = F.split(text, " ")
-                fetched_docs = ok.join(self.docs, "doc_id")
+                fetched_docs = self._with_spans(ok)
                 stats = fetched_docs.select(
                     "url",
                     "event_rank",
@@ -949,7 +985,7 @@ class CrawlEngine:
                     + F.length(F.coalesce(s["media_ref"], F.lit(""))),
                 )
                 saved = (
-                    saved.join(self.docs, "doc_id")
+                    self._with_spans(saved)
                     .filter(clen >= cfg.min_content_chars)
                     .drop("spans")
                 )
