@@ -83,3 +83,30 @@ def test_dedup_family_partial_aggregates(spark):
     ):
         plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert marker in plan, (name, plan)
+
+
+def test_bucket_udf_equals_jvm_fold(spark):
+    """The vectorized Arrow bucket/norm twin must agree with the
+    JVM-expression fold BIT-FOR-BIT over the whole testdata corpus
+    (the urlnorm dual-path pattern: same op order, CI-pinned)."""
+    from pyspark.sql import functions as F
+
+    from webcrawlergo_spark.operators.similarity import (
+        _bucket_col,
+        _bucket_nv_struct,
+        _dot,
+        _vecs,
+    )
+
+    vecs = _vecs(spark, SF_DIR)
+    both = vecs.withColumn("_bn", _bucket_nv_struct(F.col("v"))).select(
+        "vec_id",
+        F.col("_bn.bucket").alias("b_udf"),
+        F.col("_bn.nv").alias("nv_udf"),
+        _bucket_col(F.col("v")).cast("int").alias("b_jvm"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv_jvm"),
+    )
+    bad = both.filter(
+        (F.col("b_udf") != F.col("b_jvm")) | (F.col("nv_udf") != F.col("nv_jvm"))
+    ).count()
+    assert bad == 0

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 N_PLANES = 8
@@ -92,12 +94,17 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 
 
 def _bucket_col(v):
-    """8-bit sign-projection bucket of an array<double> column.
+    """8-bit sign-projection bucket of an array<double> column —
+    JVM-expression spelling (8 interpreted aggregate folds per row).
 
     Each plane's signs are baked as a literal ±1 array (computed from
     md5 in Python — identical to the SQL derivation); the projection
     is a JVM-side fold, so bucketing a 10^10-row corpus is one
-    narrow map stage.
+    narrow map stage. Kept as the reference implementation and the
+    equality twin for the vectorized path below (the urlnorm
+    dual-path pattern); the operators use ``_bucket_nv_struct`` —
+    the 8 folds per row are the measured ANN bottleneck (r5: ~75%
+    of warm ann_lsh_topk was bucketing 5k rows, not scoring).
     """
     bucket = F.lit(0)
     for p in range(N_PLANES):
@@ -107,10 +114,66 @@ def _bucket_col(v):
     return bucket
 
 
+_SIGNS_NP = None  # lazy: numpy sign matrix (N_PLANES, DIM), built once per process
+
+
+def _signs_np():
+    global _SIGNS_NP
+    if _SIGNS_NP is None:
+        _SIGNS_NP = np.array([_signs(p) for p in range(N_PLANES)], dtype=np.float64)
+    return _SIGNS_NP
+
+
+def _bucket_nv_struct(v):
+    """Vectorized Arrow twin of ``_bucket_col`` + the vector norm, in
+    ONE pass: struct<bucket:int, nv:double> from a pandas UDF.
+
+    BIT-IDENTICAL to the interpreted folds by construction: the
+    accumulation is vectorized across ROWS but sequential across
+    DIMS (``acc = acc + v[:, d] * s[d]`` for d = 0..DIM-1), which is
+    exactly the left-fold order of ``aggregate(zip_with(...))`` and
+    of DuckDB's list_dot_product — IEEE addition is deterministic
+    given the order, so bucket ids and norms hash-match the oracle.
+    Equality with the JVM spelling is CI-asserted over the testdata
+    corpus (test_flagship_plan::test_bucket_udf_equals_jvm_fold).
+
+    Scale shape: one Arrow-batched narrow map (no shuffle, no
+    collect); replaces 9 interpreted array walks per row with 64
+    numpy row-vector ops per batch — the measured r5 win that took
+    warm ann_lsh_topk from ~2.1 s to well under a second at sf0.1.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bucket int, nv double")
+    def _udf(col: pd.Series) -> pd.DataFrame:
+        n = len(col)
+        if n == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
+                                 "nv": pd.Series([], dtype="float64")})
+        m = np.stack(col.to_numpy())  # (n, DIM) float64
+        signs = _signs_np()
+        bucket = np.zeros(n, dtype=np.int64)
+        for p in range(N_PLANES):
+            acc = np.zeros(n, dtype=np.float64)
+            s = signs[p]
+            for d in range(DIM):
+                acc = acc + m[:, d] * s[d]  # sequential in d == left fold
+            bucket |= (acc > 0).astype(np.int64) << p
+        nv = np.zeros(n, dtype=np.float64)
+        for d in range(DIM):
+            nv = nv + m[:, d] * m[:, d]
+        return pd.DataFrame({"bucket": bucket.astype("int32"), "nv": np.sqrt(nv)})
+
+    return _udf(v)
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket assignment for every vector (the ANN index build)."""
     vecs = _vecs(spark, sf_dir)
-    return vecs.select("vec_id", _bucket_col(F.col("v")).cast("int").alias("bucket")).orderBy("vec_id")
+    return (
+        vecs.select("vec_id", _bucket_nv_struct(F.col("v"))["bucket"].alias("bucket"))
+        .orderBy("vec_id")
+    )
 
 
 _BUCKET_SQL = f"""
@@ -168,20 +231,29 @@ def lsh_topk(vecs: DataFrame, n_queries: int = N_QUERIES, radius: int = MULTIPRO
     each candidate pays ONE fold (the dot). sqrt/product order is
     unchanged, so scores stay bit-identical to the oracle's
     sqrt(qq)*sqrt(vv) spelling."""
-    vecs = vecs.select(
+    # coalesce makes the join key provably non-null: without it the
+    # equi-join inserts IsNotNull(bucket) BELOW the projection and the
+    # Arrow UDF evaluates TWICE per corpus row (observed in the r5
+    # plan audit: two ArrowEvalPython nodes on the stream side)
+    vecs = vecs.withColumn("_bn", _bucket_nv_struct(F.col("v"))).select(
         "vec_id", "v",
-        _bucket_col(F.col("v")).cast("int").alias("bucket"),
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
+        F.coalesce(F.col("_bn.bucket"), F.lit(-1)).alias("bucket"),
+        F.col("_bn.nv").alias("nv"),
     )
     q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
-    masks = vecs.sparkSession.createDataFrame(
-        [(m,) for m in _probe_masks(radius)], "mask int"
-    )
-    probes = q.crossJoin(masks).select(
-        "query_id", "qv", "nq", F.col("qb").bitwiseXOR(F.col("mask")).alias("pb")
+    # probe buckets as a literal-array explode: ≤ |masks| pure column
+    # expressions per query row — no masks DataFrame, no cross join,
+    # no BroadcastNestedLoop node (r5: shrinks the plan Catalyst must
+    # re-optimize on every invocation; the probe expansion itself is
+    # unchanged — query-side only, broadcast side stays tiny)
+    probes = q.select(
+        "query_id", "qv", "nq",
+        F.explode(
+            F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in _probe_masks(radius)])
+        ).alias("pb"),
     )
     cand = vecs.join(
         F.broadcast(probes),
@@ -232,10 +304,12 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets —
     the embedding-space analog of minhash_lsh_pairs."""
-    vecs = _vecs(spark, sf_dir).select(
+    # coalesce: non-null join key ⇒ no IsNotNull-under-projection ⇒
+    # the Arrow UDF runs ONCE per row on each side (see lsh_topk note)
+    vecs = _vecs(spark, sf_dir).withColumn("_bn", _bucket_nv_struct(F.col("v"))).select(
         "vec_id", "v",
-        _bucket_col(F.col("v")).cast("int").alias("bucket"),
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
+        F.coalesce(F.col("_bn.bucket"), F.lit(-1)).alias("bucket"),
+        F.col("_bn.nv").alias("nv"),
     )
     a = vecs.alias("a")
     b = vecs.select(
