@@ -117,3 +117,26 @@ def test_fetch_operator_columns_and_transport_fail(spark, web):
         assert rows[(solid, 0)]["doc_id"] == "docroot"
         nf = rows[(solid + "/nope", 0)]
         assert nf["http_status"] == 404 and nf["transport_fail"] is False and nf["spans"] is None
+
+
+def test_fetcher_enforces_per_host_politeness_spacing(spark, web):
+    """request_delay_ms is the distributed politeness clock: batches
+    are host-partitioned, so the per-task delay bookkeeping IS the
+    per-host floor. Asserted from the SERVER side: consecutive
+    arrivals for the host must be ≥ ~delay apart."""
+    urls = [u for u, p in web.pages.items() if p["fail_times"] == 0 and p["status"] == 200][:4]
+    with SynthWebServer(web) as srv:
+        port = srv.port
+        fetcher = make_http_fetcher(
+            resolve=lambda host, p=port: ("127.0.0.1", p), request_delay_ms=150
+        )
+        batch = spark.createDataFrame(
+            [(u, "host0.test", 0) for u in urls], "url string, host string, retry_count int"
+        )
+        rows = fetcher(batch).collect()
+        assert len(rows) == 4 and all(r["http_status"] == 200 for r in rows)
+        times = sorted(t for _, t in srv.request_log)
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert len(gaps) == 3
+        # scheduling jitter only ever widens a gap; the floor must hold
+        assert min(gaps) >= 0.150 * 0.9, gaps

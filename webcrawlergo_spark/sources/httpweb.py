@@ -29,6 +29,7 @@ from __future__ import annotations
 import html
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .synthweb import SynthWeb
@@ -104,6 +105,10 @@ class SynthWebServer:
     def __init__(self, web: SynthWeb, robots_status: int = 200):
         self.web = web
         self.robots_status = robots_status
+        # (path, monotonic-arrival) per GET — lets tests assert the
+        # fetcher's per-host politeness spacing from the SERVER side
+        self.request_log: list[tuple[str, float]] = []
+        self._log_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -113,6 +118,8 @@ class SynthWebServer:
                 pass
 
             def do_GET(self):
+                with outer._log_lock:
+                    outer.request_log.append((self.path, time.monotonic()))
                 host = (self.headers.get("Host") or "").split(":")[0]
                 if self.path == "/robots.txt":
                     body = (
