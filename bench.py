@@ -55,6 +55,8 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "doc_fingerprint",
+    "wav_decode_stats",
+    "image_decode_stats",
     "crawl_bfs_depth",
 ]
 
