@@ -246,15 +246,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # records only the first 50 queries() entries, so every slot counts).
 # Each is subsumed by a live entry — latest_pages_count by
 # latest_pages (same plan + trivial agg), ann_lsh_buckets by
-# ann_lsh_topk, ivf_cells by ivf_topk — and all three remain covered
-# by pytest + tools/compare.py (which merges retired_queries()).
-RETIRED_FROM_DRIVER = ("latest_pages_count", "ann_lsh_buckets", "ivf_cells")
+# ann_lsh_topk, ivf_cells by ivf_topk, href_token_extract by
+# link_extract_spans (same posexplode extraction machinery; X1 stays
+# driver-green), urls_fetched by urls_never_fetched (complement of the
+# same pages⋈urls existence join; J4 retains wave-loop parity) — and
+# all remain covered by pytest + tools/compare.py (which merges
+# retired_queries()).
+RETIRED_FROM_DRIVER = (
+    "latest_pages_count",
+    "ann_lsh_buckets",
+    "ivf_cells",
+    "href_token_extract",
+    "urls_fetched",
+)
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
     "wav_decode_stats",
     "image_decode_stats",
+    "repetition_score",
+    "contamination_check",
     "frame_sample_plan",
     "embedding_quantize",
     "multimodal_meta",
@@ -281,6 +293,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_pages_count": q_latest_pages_count,
         "ann_lsh_buckets": sim.QUERIES["ann_lsh_buckets"],
         "ivf_cells": sim.QUERIES["ivf_cells"],
+        "href_token_extract": q_href_token_extract,
+        "urls_fetched": q_urls_fetched,
     }
 
 

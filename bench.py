@@ -55,6 +55,8 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "doc_fingerprint",
+    "repetition_score",
+    "contamination_check",
     "wav_decode_stats",
     "image_decode_stats",
     "crawl_bfs_depth",
@@ -79,7 +81,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]
     `queries_cold` the first-execution cost."""
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    # retired-from-driver entries are still benchmarkable operators
+    qs = {**entry.retired_queries(), **entry.queries()}
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:

@@ -33,6 +33,14 @@ N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 2
 SHINGLE = 3  # word 3-gram shingles
 
 
+def gram_pattern(n: int) -> str:
+    """The single-codegen-pass word n-gram regex (see _shingles for
+    the semantics vs split-on-space). regexp_extract_all(col, pat, 1)
+    yields the NON-distinct ordered gram list; _shingles adds the
+    distinct for set-shaped consumers."""
+    return r"(?=(" + " ".join([r"[^ ]+"] * n) + r"))[^ ]+ ?"
+
+
 def _shingles(col, n: int = SHINGLE):
     """Word n-gram shingles as a distinct array column — ONE
     whole-stage-codegen regex pass: a lookahead capture grabs the
@@ -57,7 +65,7 @@ def _shingles(col, n: int = SHINGLE):
     explicitly). Docs shorter
     than n tokens yield [] (the lookahead never matches).
     """
-    pat = r"(?=(" + " ".join([r"[^ ]+"] * n) + r"))[^ ]+ ?"
+    pat = gram_pattern(n)
     # NULL text → [] (not NULL): the pre-r4 split/transform spelling
     # returned [] for NULL input and downstream explode/minhash relies
     # on that contract (ADVICE r4); regexp_extract_all propagates NULL.
@@ -312,6 +320,99 @@ FROM agg ORDER BY doc_id
 """
 
 
+CONTAM_NGRAM = 8  # word 8-grams — the standard decontamination width
+BENCH_MOD = 20  # synthetic held-out "benchmark": docs with doc_id % 20 == 0
+
+
+def contamination_check_df(
+    docs: DataFrame, n: int = CONTAM_NGRAM, mod: int = BENCH_MOD
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``n``-gram with a held-out benchmark set (here the
+    deterministic ``doc_id % mod == 0`` subset — real pipelines
+    substitute the eval-suite text).
+
+    Per non-benchmark doc: distinct-gram count, benchmark-hit count,
+    contamination fraction, and a ``contaminated`` flag (any hit —
+    the conservative decontamination rule).
+
+    At 100 TB: the benchmark gram set is small BY CONSTRUCTION
+    (benchmarks are MBs of text against TBs of corpus), so it is
+    broadcast — the probe join never shuffles the corpus. Grams are
+    md5-hashed before moving (16-byte digests, never gram text), and
+    the per-doc rollup is one map-side-combining groupBy(doc_id).
+    For a benchmark set too big to broadcast, drop the hint and the
+    same plan becomes a shuffle hash join — semantics unchanged.
+    """
+    bench_cond = F.col("doc_id") % mod == 0
+    hashed = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n=n)).alias("g")
+    ).select("doc_id", F.md5("g").alias("h"))
+    bench_set = hashed.filter(bench_cond).select("h").distinct()
+    corpus = hashed.filter(~bench_cond)
+    joined = corpus.join(
+        F.broadcast(bench_set.withColumn("is_hit", F.lit(1))), "h", "left"
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("is_hit"), F.lit(0))).alias("n_hits"),
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        docs.filter(~bench_cond)
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_hits.alias("n_hits"),
+            # portable HALF_UP at 6dp (floor(x*1e6+0.5)/1e6): ratios of
+            # small ints can land ON a 6dp tie where Spark round() and
+            # DuckDB round() disagree — see repetition_score_df
+            F.when(n_grams > 0, F.floor(n_hits / n_grams * 1e6 + F.lit(0.5)) / 1e6)
+            .otherwise(F.lit(0.0))
+            .alias("contam_frac"),
+            (n_hits > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_check_df(docs)
+
+
+def _contamination_sql(n: int = CONTAM_NGRAM, mod: int = BENCH_MOD) -> str:
+    """DuckDB twin of contamination_check_df (same grams, same hash,
+    same zero-gram COALESCE contract)."""
+    return f"""
+WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+g AS (SELECT doc_id, md5(gr) AS h FROM
+      (SELECT doc_id, unnest({_shingles_sql(n)}) AS gr FROM s0) t),
+bench AS (SELECT DISTINCT h FROM g WHERE doc_id % {mod} = 0),
+cg AS (SELECT doc_id,
+              CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END AS is_hit
+       FROM g WHERE doc_id % {mod} <> 0),
+a AS (SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(is_hit) AS BIGINT) AS n_hits
+      FROM cg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+       CASE WHEN COALESCE(a.n_grams, 0) > 0
+            THEN floor(COALESCE(a.n_hits, 0) / a.n_grams * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS contam_frac,
+       COALESCE(a.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+LEFT JOIN a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
+CONTAMINATION_SQL = _contamination_sql()
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """Word-bigram Jaccard near-dups through the SAME banded LSH
     candidate generator as minhash_lsh_pairs (independent seed space,
@@ -331,6 +432,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash": simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "contamination_check": contamination_check,
 }
 
 ORACLES = {
@@ -338,4 +440,5 @@ ORACLES = {
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "simhash": SIMHASH_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "contamination_check": CONTAMINATION_SQL,
 }

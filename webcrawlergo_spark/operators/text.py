@@ -303,6 +303,121 @@ FROM t ORDER BY doc_id
 """
 
 
+REP_NGRAM = 2  # word bigrams — Gopher's "duplicate 2-gram fraction"
+DUP_FRAC_MAX = 0.05
+TOP_FRAC_MAX = 0.10
+# the top-gram clause only fires on docs long enough that a 10% share
+# is evidence of repetition rather than arithmetic (a clean 6-token
+# doc has top_frac 1/5 = 0.2) — the min-length prefilter every
+# published repetition rule assumes
+MIN_GRAMS_FOR_TOP = 20
+
+
+def repetition_score_df(docs: DataFrame, n: int = REP_NGRAM) -> DataFrame:
+    """Gopher-style repetition filter: per-doc duplicate-n-gram
+    fraction and top-n-gram fraction over word bigrams, plus the
+    ``repetitive`` filter flag: dup_gram_frac > 0.05, OR
+    top_gram_frac > 0.10 on docs with ≥ MIN_GRAMS_FOR_TOP grams
+    (thresholds in the Gopher band for n=2).
+
+    Shape: one codegen regex pass builds the NON-distinct ordered
+    gram list, explode → groupBy(doc_id, md5(gram)) count →
+    groupBy(doc_id) rollup. Both aggregations map-side combine, and
+    the shuffle carries 16-byte digests, never gram text — the same
+    hash-only-shuffle contract as dedup_exact. Docs shorter than
+    ``n`` tokens keep a zeroed row via the left join.
+    """
+    from .dedup import gram_pattern
+
+    grams = F.regexp_extract_all(F.col("text"), F.lit(gram_pattern(n)), F.lit(1))
+    per_gram = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", F.md5("g").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count("*").alias("n_distinct_grams"),
+        F.max("cnt").alias("top_count"),
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_distinct = F.coalesce(F.col("n_distinct_grams"), F.lit(0)).cast("long")
+    # floor(x*1e6 + 0.5)/1e6, not F.round(x, 6): ratios of small ints
+    # (e.g. 1/128) are binary-exact and can land ON a 6dp tie, where
+    # Spark's HALF_UP and DuckDB's round() disagree bit-for-bit — the
+    # same portable-rounding rule embedding_quantize uses.
+    dup_frac = F.when(
+        n_grams > 0,
+        F.floor((F.lit(1) - n_distinct / n_grams) * 1e6 + F.lit(0.5)) / 1e6,
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        n_grams > 0,
+        F.floor(F.col("top_count") / n_grams * 1e6 + F.lit(0.5)) / 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct_grams"),
+            dup_frac.alias("dup_gram_frac"),
+            top_frac.alias("top_gram_frac"),
+            # flags compare the ROUNDED fractions so the oracle's
+            # boundary behavior is identical by construction
+            (
+                (dup_frac > DUP_FRAC_MAX)
+                | ((n_grams >= MIN_GRAMS_FOR_TOP) & (top_frac > TOP_FRAC_MAX))
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_score_df(docs)
+
+
+def _repetition_sql(n: int = REP_NGRAM) -> str:
+    parts = " || ' ' || ".join(f"s[i + {j + 1}]" for j in range(n))
+    return f"""
+WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+g AS (SELECT doc_id, md5(gr) AS h FROM
+      (SELECT doc_id,
+              unnest(list_transform(range(0, len(s) - {n - 1}), i -> {parts})) AS gr
+       FROM s0) t),
+pg AS (SELECT doc_id, h, COUNT(*) AS cnt FROM g GROUP BY doc_id, h),
+a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             COUNT(*) AS n_distinct_grams, MAX(cnt) AS top_count
+      FROM pg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN COALESCE(a.n_grams, 0) > 0
+            THEN floor((1 - a.n_distinct_grams / a.n_grams) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_gram_frac,
+       CASE WHEN COALESCE(a.n_grams, 0) > 0
+            THEN floor(a.top_count / a.n_grams * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS top_gram_frac,
+       (CASE WHEN COALESCE(a.n_grams, 0) > 0
+             THEN floor((1 - a.n_distinct_grams / a.n_grams) * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END
+            > {DUP_FRAC_MAX}
+        OR (COALESCE(a.n_grams, 0) >= {MIN_GRAMS_FOR_TOP}
+            AND CASE WHEN COALESCE(a.n_grams, 0) > 0
+                     THEN floor(a.top_count / a.n_grams * 1e6 + 0.5) / 1e6
+                     ELSE 0.0 END
+                > {TOP_FRAC_MAX})) AS repetitive
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
+REPETITION_SQL = _repetition_sql()
+
+
 QUERIES = {
     "token_length_buckets": token_length_buckets,
     "lang_id": lang_id,
@@ -311,6 +426,7 @@ QUERIES = {
     "doc_fingerprint": fingerprint,
     "pack_documents": pack_documents,
     "pii_scrub": pii_scrub,
+    "repetition_score": repetition_score,
 }
 
 ORACLES = {
@@ -321,4 +437,5 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "pack_documents": PACK_DOCUMENTS_SQL,
     "pii_scrub": PII_SCRUB_SQL,
+    "repetition_score": REPETITION_SQL,
 }
