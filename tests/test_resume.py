@@ -55,6 +55,36 @@ def test_manifest_atomicity(spark, tmp_path):
     assert store.load(spark, "t").count() == 3
 
 
+def test_time_travel_load_at(spark, tmp_path):
+    """Iceberg VERSION-AS-OF analog: load_at() reads snapshots AND the
+    as-of-wave prefix of append logs through the historical manifest;
+    a GC'd wave raises instead of silently reading current state."""
+    import pytest
+
+    store = CheckpointStore(str(tmp_path / "ck"), keep_last=2)
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    store.commit(1, {"front": df.filter("id < 4")}, appends={"log": df.filter("id = 0")})
+    store.commit(2, {"front": df.filter("id < 7")}, appends={"log": df.filter("id = 1")})
+
+    # snapshot tables resolve per wave, not to the latest pointer
+    assert store.load_at(spark, "front", 1).count() == 4
+    assert store.load_at(spark, "front", 2).count() == 7
+    # append log: wave 1 sees only its own delta, wave 2 the cumulative list
+    assert store.load_at(spark, "log", 1).count() == 1
+    assert store.load_at(spark, "log", 2).count() == 2
+    # unknown table at a known wave → None (same contract as load())
+    assert store.load_at(spark, "nope", 2) is None
+
+    # wave 3 commit GCs wave 1's snapshot dir (keep_last=2) but append
+    # deltas are protected by the cumulative manifest list
+    store.commit(3, {"front": df}, appends={"log": df.filter("id = 2")})
+    with pytest.raises(ValueError, match="GC'd"):
+        store.load_at(spark, "front", 1)
+    assert store.load_at(spark, "log", 1).count() == 1
+    with pytest.raises(ValueError, match="no manifest"):
+        store.load_at(spark, "front", 99)
+
+
 def test_lineage_accounting(default_run):
     """Per-partition lineage rows reconcile with the crawl totals
     (north rule: partition id, dequeued, fetched, deduped, enqueued)."""

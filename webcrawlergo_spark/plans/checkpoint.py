@@ -161,6 +161,39 @@ class CheckpointStore:
         )
         return m
 
+    def load_at(self, spark: SparkSession, table: str, wave_id: int) -> DataFrame | None:
+        """Time-travel read (Iceberg ``VERSION AS OF``): ``table``
+        exactly as wave ``wave_id`` committed it, resolved through the
+        snapshot-history manifest. For append tables the historical
+        manifest's cumulative file list IS the as-of-wave prefix of
+        the log, so deltas appended by later waves are invisible —
+        the property that lets lineage/metrics queries run against a
+        consistent past state while the crawl keeps committing.
+
+        Raises for an unknown wave or a snapshot whose data files the
+        retention GC already dropped (history keeps ``keep_last``
+        waves); returns None for a table the wave didn't carry.
+        """
+        m = self.manifest_for(wave_id)
+        if m is None:
+            raise ValueError(
+                f"no manifest for wave {wave_id} (history keeps {self.keep_last})"
+            )
+        if table in m["tables"]:
+            path = m["tables"][table]
+            if not os.path.exists(path):
+                raise ValueError(f"snapshot data for wave {wave_id} table {table} was GC'd")
+            return spark.read.parquet(path)
+        paths = m.get("append_tables", {}).get(table)
+        if paths:
+            missing = [p for p in paths if not os.path.exists(p)]
+            if missing:
+                raise ValueError(
+                    f"append data for wave {wave_id} table {table} was GC'd: {missing}"
+                )
+            return spark.read.parquet(*paths)
+        return None
+
     def load(self, spark: SparkSession, table: str) -> DataFrame | None:
         m = self.latest()
         if m is None:
