@@ -278,11 +278,21 @@ EARLY_ORDER = (
 )
 
 
+# CORRECTNESS_r04 proved the driver records only the first 50
+# queries() entries — entry #51 would silently lose driver coverage.
+DRIVER_QUERY_CAP = 50
+
+
 def _reorder(full: dict) -> dict:
     out = {k: full.pop(k) for k in EARLY_ORDER if k in full}
     for k in RETIRED_FROM_DRIVER:
         full.pop(k, None)
     out.update(full)
+    assert len(out) <= DRIVER_QUERY_CAP, (
+        f"{len(out)} registered queries exceed the driver's {DRIVER_QUERY_CAP}-row "
+        "CORRECTNESS window — retire a redundant entry (RETIRED_FROM_DRIVER) "
+        "before adding new ones"
+    )
     return out
 
 

@@ -140,3 +140,53 @@ def test_fetcher_enforces_per_host_politeness_spacing(spark, web):
         assert len(gaps) == 3
         # scheduling jitter only ever widens a gap; the floor must hold
         assert min(gaps) >= 0.150 * 0.9, gaps
+
+
+def test_retry_respects_politeness_floor(spark, web):
+    """The automatic fresh-connection retry must pace like any other
+    request — without it the fetcher hits a host FASTEST exactly when
+    the host is failing (review r5). Server-side evidence: a
+    fail_times=1 URL produces two wire arrivals (close, paced retry),
+    then the next URL a third; every gap ≥ ~delay."""
+    failing = next(
+        u for u, p in web.pages.items() if p["fail_times"] == 1 and p["status"] == 200
+    )
+    ok = next(u for u, p in web.pages.items() if p["fail_times"] == 0 and p["status"] == 200)
+    with SynthWebServer(web) as srv:
+        port = srv.port
+        fetcher = make_http_fetcher(
+            resolve=lambda host, p=port: ("127.0.0.1", p), request_delay_ms=150
+        )
+        batch = spark.createDataFrame(
+            [(failing, "host0.test", 0), (ok, "host0.test", 0)],
+            "url string, host string, retry_count int",
+        )
+        rows = {r["url"]: r for r in fetcher(batch).collect()}
+        # attempt 0 fails on both the pooled and the fresh connection
+        # (the server closes while attempt < fail_times) → transport_fail
+        assert rows[failing]["transport_fail"] and rows[ok]["http_status"] == 200
+        times = sorted(t for _, t in srv.request_log)
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert len(gaps) == 2, srv.request_log
+        assert min(gaps) >= 0.150 * 0.9, gaps
+
+
+def test_host_header_carries_nondefault_port(spark, web):
+    """RFC 9112: the Host header must include the port when it isn't
+    the scheme default (review r5 — a bare name breaks name-based
+    vhosts behind non-default-port proxies). Default-port URLs keep
+    the bare name."""
+    ok = next(u for u, p in web.pages.items() if p["fail_times"] == 0 and p["status"] == 200)
+    with SynthWebServer(web) as srv:
+        port = srv.port
+        fetcher = make_http_fetcher(resolve=lambda host, p=port: ("127.0.0.1", p))
+        path = ok.split("host0.test", 1)[1]
+        batch = spark.createDataFrame(
+            [
+                (ok, "host0.test", 0),  # https URL, no explicit port
+                (f"http://host0.test:8080{path}", "host0.test", 0),
+            ],
+            "url string, host string, retry_count int",
+        )
+        fetcher(batch).collect()
+        assert sorted(srv.host_log) == ["host0.test", "host0.test:8080"], srv.host_log

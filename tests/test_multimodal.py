@@ -214,6 +214,25 @@ def test_pnm_decoder_rejects_short_raster_and_bad_header():
         _decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM: not supported
     with pytest.raises(ValueError, match="header"):
         _decode_pnm(b"P6\n4 2")  # truncated header
+    # missing separator byte after maxval: must fail loudly, never
+    # consume the first raster byte and shift every pixel (review r5)
+    with pytest.raises(ValueError, match="whitespace"):
+        _decode_pnm(b"P6\n1 1\n255" + bytes(4))
+
+
+def test_pnm_sniff_only_fires_for_image_types():
+    """The weak 2-byte P5/P6 magic must not hijack non-image blobs: a
+    video (or any payload starting with ASCII 'P6') still reaches the
+    documented decode stub (review r5)."""
+    looks_like_pnm = b"P6 is a great codename for a video codec"
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        decode_blob(looks_like_pnm, "video/mp4")
+    # but a blob TYPED as an image is sniffed and parsed for real
+    rgb = np.zeros((1, 2, 3), dtype=np.uint8)
+    from webcrawlergo_spark.multimodal import pnm_bytes
+
+    got, maxval = decode_blob(pnm_bytes(rgb), "image/png")  # mislabeled but P6 magic
+    assert maxval == 255 and got.shape == (1, 2, 3)
 
 
 def test_image_decode_stats_recovers_padded_payload(spark):

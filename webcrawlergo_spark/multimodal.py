@@ -84,9 +84,12 @@ def decode_blob(blob: bytes, media_type: str):
         blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
     ):
         return _decode_wav(blob)
-    if media_type in ("image/x-portable-pixmap", "image/x-portable-graymap") or blob[:2] in (
-        b"P5",
-        b"P6",
+    # the 2-byte P5/P6 magic is weak — only sniff it for blobs already
+    # typed as images, so a video/mp4 (or any payload that happens to
+    # start with ASCII "P6") still reaches the documented stub below
+    # instead of dying in the PNM parser with a misleading error
+    if media_type in ("image/x-portable-pixmap", "image/x-portable-graymap") or (
+        media_type.startswith("image/") and blob[:2] in (b"P5", b"P6")
     ):
         return _decode_pnm(blob)
     raise NotImplementedError(
@@ -165,7 +168,13 @@ def _decode_pnm(blob: bytes) -> tuple[np.ndarray, int]:
     w, h, maxval = tokens
     if not 0 < maxval < 65536:
         raise ValueError(f"bad PNM maxval {maxval}")
-    pos += 1  # exactly one whitespace byte separates maxval and raster
+    # exactly one whitespace byte separates maxval and raster — verify
+    # it IS whitespace: blindly skipping would consume the first raster
+    # byte of a malformed header and shift every pixel by one, a
+    # silently-wrong decode (the WAV chunk bounds check's contract)
+    if pos >= len(blob) or blob[pos] not in b" \t\r\n":
+        raise ValueError("PNM header must end with one whitespace byte before the raster")
+    pos += 1
     channels = 3 if magic == b"P6" else 1
     dtype = np.dtype("u1") if maxval < 256 else np.dtype(">u2")
     need = w * h * channels * dtype.itemsize
@@ -376,6 +385,12 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             recs = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if blob is None:
+                    # NULL text → NULL container: emit what the oracle
+                    # emits for that row (literal rate/channels, NULL
+                    # payload facts) instead of crashing the job
+                    recs.append((doc_id, WAV_RATE, 1, None, None))
+                    continue
                 samples, rate = decode_blob(bytes(blob), "audio/wav")
                 recs.append(
                     (
@@ -460,6 +475,12 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             recs = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if blob is None:
+                    # NULL text → NULL container: emit what the oracle
+                    # emits for that row (literal height/channels/
+                    # maxval, NULL width/md5) instead of crashing
+                    recs.append((doc_id, None, 1, 3, 255, None))
+                    continue
                 pixels, maxval = decode_blob(bytes(blob), "image/x-portable-pixmap")
                 recs.append(
                     (

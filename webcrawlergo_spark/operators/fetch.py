@@ -76,12 +76,18 @@ def _get_once(
         else:
             conn = http.client.HTTPConnection(host, port or 80, timeout=timeout)
         conns[key] = conn
+    # RFC 9112: the Host header must carry the port when it isn't the
+    # scheme default — the explicit header suppresses http.client's
+    # automatic one, and a bare name would break name-based virtual
+    # hosts / reverse proxies on non-default ports in production mode
+    default_port = 443 if scheme == "https" else 80
+    host_hdr = host if port in (None, default_port) else f"{host}:{port}"
     try:
         conn.request(
             "GET",
             path or "/",
             headers={
-                "Host": host,
+                "Host": host_hdr,
                 "User-Agent": user_agent,
                 "X-Attempt": str(attempt),
             },
@@ -136,18 +142,26 @@ def make_http_fetcher(
             last_req: dict[str, float] = {}
             for pdf in batches:
                 doc_ids, statuses, tfails, spans_col = [], [], [], []
+                def pace(host: str) -> None:
+                    """Per-host politeness floor, applied before EVERY
+                    wire request — including the fresh-connection
+                    retry, which would otherwise hit the host fastest
+                    exactly when it is failing."""
+                    if not request_delay_ms:
+                        return
+                    wait = last_req.get(host, 0.0) + request_delay_ms / 1e3 - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    last_req[host] = time.monotonic()
+
                 for url, attempt in zip(pdf["url"], pdf["retry_count"]):
                     parts = urlsplit(url)
                     host = parts.hostname or ""
-                    if request_delay_ms:
-                        wait = last_req.get(host, 0.0) + request_delay_ms / 1e3 - time.monotonic()
-                        if wait > 0:
-                            time.sleep(wait)
-                        last_req[host] = time.monotonic()
                     addr = resolve(host) if resolve is not None else None
                     path = parts.path + (f"?{parts.query}" if parts.query else "")
                     status, body, tfail = 0, b"", False
                     for fresh in (False, True):
+                        pace(host)
                         try:
                             status, body = _get_once(
                                 conns, parts.scheme, host, parts.port, addr,

@@ -595,12 +595,16 @@ class CrawlEngine:
             # through inline from mapInPandas — same columns, plus the
             # content itself ("spans") riding the fetch event instead
             # of a doc_id join (what a crawler actually transports).
-            if self.fetcher is not None:
-                fr = self.fetcher(batch)
+            def _with_flag_in(df):
+                # shared by both fetch modes (depends only on "url")
                 if flags_live:
-                    fr = fr.join(fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left")
-                else:
-                    fr = fr.withColumn("_flag_in", F.lit(False))
+                    return df.join(
+                        fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left"
+                    )
+                return df.withColumn("_flag_in", F.lit(False))
+
+            if self.fetcher is not None:
+                fr = _with_flag_in(self.fetcher(batch))
                 sim = fr.select(
                     *[F.col(c) for c in batch.columns],
                     "doc_id",
@@ -616,11 +620,7 @@ class CrawlEngine:
                     "url", F.col("doc_id").alias("_doc_id"),
                     F.col("status").alias("_status"), F.col("fail_times").alias("_ft"),
                 )
-                sim = batch.join(web, "url", "left")
-                if flags_live:
-                    sim = sim.join(fetch_flags.withColumnRenamed("flag", "_flag_in"), "url", "left")
-                else:
-                    sim = sim.withColumn("_flag_in", F.lit(False))
+                sim = _with_flag_in(batch.join(web, "url", "left"))
                 sim = sim.select(
                     *[F.col(c) for c in batch.columns],
                     F.col("_doc_id").alias("doc_id"),

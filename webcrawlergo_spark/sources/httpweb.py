@@ -108,6 +108,8 @@ class SynthWebServer:
         # (path, monotonic-arrival) per GET — lets tests assert the
         # fetcher's per-host politeness spacing from the SERVER side
         self.request_log: list[tuple[str, float]] = []
+        # raw Host header per GET — pins the RFC 9112 port-carrying rule
+        self.host_log: list[str] = []
         self._log_lock = threading.Lock()
         outer = self
 
@@ -120,6 +122,7 @@ class SynthWebServer:
             def do_GET(self):
                 with outer._log_lock:
                     outer.request_log.append((self.path, time.monotonic()))
+                    outer.host_log.append(self.headers.get("Host") or "")
                 host = (self.headers.get("Host") or "").split(":")[0]
                 if self.path == "/robots.txt":
                     body = (
