@@ -22,10 +22,12 @@ from webcrawlergo_spark.multimodal import (
     FRAME_SAMPLE_SQL,
     IMAGE_DECODE_STATS_SQL,
     MULTIMODAL_META_SQL,
+    VIDEO_DECODE_STATS_SQL,
     WAV_DECODE_STATS_SQL,
     frame_sample_plan,
     image_decode_stats,
     multimodal_meta,
+    video_decode_stats,
     wav_decode_stats,
 )
 from webcrawlergo_spark.operators import dedup as dd
@@ -251,25 +253,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-green), urls_fetched by urls_never_fetched (complement of the
 # same pages⋈urls existence join; J4 retains wave-loop parity) — and
 # all remain covered by pytest + tools/compare.py (which merges
-# retired_queries()).
+# retired_queries()). r5 additions: multimodal_meta is subsumed by the
+# three real-decode stats queries (each emits the typed-metadata
+# columns PLUS the decoded-payload md5 over the same table);
+# token_length_buckets is a histogram over the same per-doc token
+# counts token_count already proves row-by-row.
 RETIRED_FROM_DRIVER = (
     "latest_pages_count",
     "ann_lsh_buckets",
     "ivf_cells",
     "href_token_extract",
     "urls_fetched",
+    "multimodal_meta",
+    "token_length_buckets",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "video_decode_stats",
+    "neardup_clusters",
     "wav_decode_stats",
     "image_decode_stats",
     "repetition_score",
     "contamination_check",
     "frame_sample_plan",
     "embedding_quantize",
-    "multimodal_meta",
     "sessionize_stateful_stream",
     "events_tumbling_agg",
     "crawl_bfs_depth",
@@ -305,6 +314,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cells": sim.QUERIES["ivf_cells"],
         "href_token_extract": q_href_token_extract,
         "urls_fetched": q_urls_fetched,
+        "multimodal_meta": multimodal_meta,
+        "token_length_buckets": tx.QUERIES["token_length_buckets"],
     }
 
 
@@ -356,6 +367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # real image decode end-to-end (r5): JVM-built P6 container,
     # numpy PNM parser in mapInPandas, decoded-raster md5 vs oracle
     q["image_decode_stats"] = image_decode_stats
+    # real video decode end-to-end (r5): JVM-built AVI container
+    # (uncompressed 8-bit DIB frames), numpy RIFF/AVI parser in
+    # mapInPandas, decoded-frame-stack md5 vs oracle
+    q["video_decode_stats"] = video_decode_stats
     return _reorder(q)
 
 
@@ -506,4 +521,5 @@ def oracle_sql() -> dict[str, str]:
     o["frame_sample_plan"] = FRAME_SAMPLE_SQL
     o["wav_decode_stats"] = WAV_DECODE_STATS_SQL
     o["image_decode_stats"] = IMAGE_DECODE_STATS_SQL
+    o["video_decode_stats"] = VIDEO_DECODE_STATS_SQL
     return o

@@ -59,6 +59,8 @@ HEADLINE = [
     "contamination_check",
     "wav_decode_stats",
     "image_decode_stats",
+    "video_decode_stats",
+    "neardup_clusters",
     "crawl_bfs_depth",
 ]
 

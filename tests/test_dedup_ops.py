@@ -110,3 +110,94 @@ def test_shingles_null_text_yields_empty_array(spark):
     assert all(r["sh"] is not None for r in rows)
     assert rows[1]["sh"] == [] and rows[2]["sh"] == []
     assert len(rows[0]["sh"]) > 0
+
+
+# --------------------------------------------------------------------------
+# Connected components (r5): hash-min label propagation vs union-find
+# --------------------------------------------------------------------------
+
+
+def _union_find_components(edges):
+    """Pure-python oracle: classic union-find, relabeled to min member."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for x in list(parent):
+        roots.setdefault(find(x), []).append(x)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_connected_components_hand_graph(spark):
+    """Two components incl. a transitive chain (A~B, B~C must merge)
+    plus an isolated pair; labels must be the min id per component."""
+    from webcrawlergo_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 6: 5}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graph (chains, stars, singleton pairs) against the
+    union-find oracle — exercises multi-round convergence."""
+    import random
+
+    from webcrawlergo_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # add a long chain: worst-case diameter for hash-min propagation
+    edges += [(1000 + i, 1000 + i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter must raise loudly, never return a
+    half-merged labeling (the dedup keep-rule would silently keep
+    extra copies)."""
+    import pytest
+
+    from webcrawlergo_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_neardup_clusters_consistent_with_pairs(spark):
+    """Every LSH pair must land in the same cluster; every cluster id
+    must be the min doc_id of its members; canonical flags mark
+    exactly the min."""
+    from webcrawlergo_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+
+    pairs = minhash_lsh_pairs(spark, SF_DIR).collect()
+    assert pairs, "fixture produced no near-dup pairs"
+    clusters = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(spark, SF_DIR).collect()}
+    for p in pairs:
+        assert clusters[p["doc_a"]] == clusters[p["doc_b"]]
+    members = {}
+    for doc, c in clusters.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)

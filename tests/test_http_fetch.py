@@ -128,7 +128,7 @@ def test_fetcher_enforces_per_host_politeness_spacing(spark, web):
     with SynthWebServer(web) as srv:
         port = srv.port
         fetcher = make_http_fetcher(
-            resolve=lambda host, p=port: ("127.0.0.1", p), request_delay_ms=150
+            resolve=lambda host, p=port: ("127.0.0.1", p), request_delay_ms=300
         )
         batch = spark.createDataFrame(
             [(u, "host0.test", 0) for u in urls], "url string, host string, retry_count int"
@@ -138,8 +138,13 @@ def test_fetcher_enforces_per_host_politeness_spacing(spark, web):
         times = sorted(t for _, t in srv.request_log)
         gaps = [b - a for a, b in zip(times, times[1:])]
         assert len(gaps) == 3
-        # scheduling jitter only ever widens a gap; the floor must hold
-        assert min(gaps) >= 0.150 * 0.9, gaps
+        # client-side jitter only ever widens a gap, but the SERVER-side
+        # log timestamp of arrival N can be LATE under host load
+        # (ThreadingHTTPServer thread starved by the 32-thread Spark
+        # JVM), compressing the observed N→N+1 gap — flaked at 135/150
+        # in a full-suite run. 300 ms delay with a 0.75 floor leaves
+        # 75 ms of absolute scheduler headroom.
+        assert min(gaps) >= 0.300 * 0.75, gaps
 
 
 def test_retry_respects_politeness_floor(spark, web):
@@ -155,7 +160,7 @@ def test_retry_respects_politeness_floor(spark, web):
     with SynthWebServer(web) as srv:
         port = srv.port
         fetcher = make_http_fetcher(
-            resolve=lambda host, p=port: ("127.0.0.1", p), request_delay_ms=150
+            resolve=lambda host, p=port: ("127.0.0.1", p), request_delay_ms=300
         )
         batch = spark.createDataFrame(
             [(failing, "host0.test", 0), (ok, "host0.test", 0)],
@@ -168,7 +173,8 @@ def test_retry_respects_politeness_floor(spark, web):
         times = sorted(t for _, t in srv.request_log)
         gaps = [b - a for a, b in zip(times, times[1:])]
         assert len(gaps) == 2, srv.request_log
-        assert min(gaps) >= 0.150 * 0.9, gaps
+        # same server-side-timestamp headroom rationale as the spacing test
+        assert min(gaps) >= 0.300 * 0.75, gaps
 
 
 def test_host_header_carries_nondefault_port(spark, web):

@@ -98,15 +98,16 @@ def test_image_decode_still_stubbed():
         decode_blob(b"\x89PNG\r\n", "image/png")
 
 
-def test_riff_non_wave_containers_hit_the_stub():
+def test_riff_non_wave_containers_route_correctly():
     """WEBP images and AVI video are ALSO RIFF containers — they must
-    fall through to the NotImplementedError stub, not die in the WAV
-    parser (r4 review)."""
+    not die in the WAV parser (r4 review). WEBP still reaches the
+    stub; AVI now reaches the REAL AVI parser (r5), which rejects a
+    headerless container loudly."""
     webp = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 " + b"\x00" * 8
     with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
         decode_blob(webp, "image/webp")
     avi = b"RIFF" + b"\x10\x00\x00\x00" + b"AVI " + b"\x00" * 8
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+    with pytest.raises(ValueError, match="missing avih/strh/strf"):
         decode_blob(avi, "video/x-msvideo")
 
 
@@ -252,3 +253,96 @@ def test_image_decode_stats_recovers_padded_payload(spark):
     assert rows[2]["width"] == 2 and rows[2]["pixels_md5"] == hashlib.md5(b"abcde ").hexdigest()
     assert rows[3]["width"] == 1 and rows[3]["pixels_md5"] == hashlib.md5(b"x  ").hexdigest()
     assert all(r["height"] == 1 and r["channels"] == 3 and r["maxval"] == 255 for r in rows.values())
+
+
+# --------------------------------------------------------------------------
+# Real AVI video decode (r5)
+# --------------------------------------------------------------------------
+
+
+def test_avi_decoder_roundtrips():
+    """avi_bytes → _decode_avi recovers frames bit-for-bit, including
+    non-multiple-of-4 widths (DIB stride padding stripped) and fps."""
+    from webcrawlergo_spark.multimodal import avi_bytes, decode_blob
+
+    rng = np.random.default_rng(11)
+    for shape in [(3, 5, 7), (1, 1, 4), (4, 2, 13), (2, 8, 1)]:
+        frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        video, fps = decode_blob(avi_bytes(frames, fps=30), "video/x-msvideo")
+        assert video.shape == shape and (video == frames).all()
+        assert fps == 30.0
+
+
+def test_avi_decoder_rejects_malformed():
+    """Loud-fail contract: chunk overrun, frame-size mismatch, and a
+    frame count disagreeing with strh.dwLength all raise."""
+    from webcrawlergo_spark.multimodal import _decode_avi, avi_bytes
+
+    frames = np.zeros((2, 2, 4), dtype=np.uint8)
+    good = avi_bytes(frames)
+
+    overrun = bytearray(good)
+    overrun[16:20] = (10**8).to_bytes(4, "little")  # hdrl LIST size
+    with pytest.raises(ValueError, match="overruns"):
+        _decode_avi(bytes(overrun))
+
+    # truncate the movi payload: last frame chunk loses bytes but its
+    # size field still promises them → overrun inside movi
+    with pytest.raises(ValueError):
+        _decode_avi(good[:-3])
+
+    # lie about the frame count in strh.dwLength
+    bad_count = bytearray(good)
+    strh_off = good.index(b"vids")
+    # dwLength is the 8th dword after fccType/fccHandler: +8 fcc +4 flags
+    # +4 prio/lang +4 init +4 scale +4 rate +4 start = offset 32 from 'vids'
+    bad_count[strh_off + 32 : strh_off + 36] = (7).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="promises 7 frames"):
+        _decode_avi(bytes(bad_count))
+
+
+def test_avi_decoder_rejects_compressed_streams():
+    """A non-BI_RGB biCompression must hit the honest
+    NotImplementedError (ffmpeg territory), not decode garbage."""
+    from webcrawlergo_spark.multimodal import _decode_avi, avi_bytes
+
+    blob = bytearray(avi_bytes(np.zeros((1, 1, 4), dtype=np.uint8)))
+    strf_off = blob.index(b"strf")
+    # biCompression is at strf body offset 16 (after biSize/biWidth/
+    # biHeight/biPlanes+biBitCount); body starts at strf_off + 8
+    blob[strf_off + 24 : strf_off + 28] = b"MJPG"
+    with pytest.raises(NotImplementedError, match="uncompressed 8-bit DIB"):
+        _decode_avi(bytes(blob))
+
+
+def test_avi_bottom_up_rows_are_flipped():
+    """Positive biHeight means bottom-up row storage — the decoder
+    must return top-down frames."""
+    from webcrawlergo_spark.multimodal import _decode_avi, avi_bytes
+
+    frames = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    blob = bytearray(avi_bytes(frames))  # written top-down (negative height)
+    strf_off = blob.index(b"strf")
+    # flip the sign of biHeight (strf body offset 8) → claims bottom-up
+    blob[strf_off + 16 : strf_off + 20] = (3).to_bytes(4, "little", signed=True)
+    video, _fps = _decode_avi(bytes(blob))
+    # same bytes now interpreted bottom-up: each frame's rows reversed
+    assert (video == frames[:, ::-1, :]).all()
+
+
+def test_video_decode_stats_matches_direct_decode(spark):
+    """The Spark query's JVM-built container decodes to exactly the
+    doc text + stride padding (the oracle identity, checked here
+    without DuckDB so pytest alone pins the contract)."""
+    from webcrawlergo_spark.multimodal import AVI_NF, video_decode_stats
+
+    out = {r["doc_id"]: r for r in video_decode_stats(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text").collect()
+    assert out, "no rows"
+    for d in docs[:50]:
+        r = out[d["doc_id"]]
+        n = len(d["text"].encode())
+        frame_len = 4 * ((n + 15) // 16)
+        pad = " " * (AVI_NF * frame_len - n)
+        assert r["width"] == frame_len and r["n_frames"] == AVI_NF and r["fps"] == 25.0
+        assert r["frames_md5"] == hashlib.md5((d["text"] + pad).encode()).hexdigest()

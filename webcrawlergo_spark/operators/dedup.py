@@ -413,6 +413,117 @@ ORDER BY d.doc_id
 CONTAMINATION_SQL = _contamination_sql()
 
 
+def connected_components(
+    edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list — the step a
+    dedup pipeline needs BETWEEN near-dup pairs and "keep one copy":
+    LSH emits pairs, but a duplicate GROUP is the transitive closure
+    of those pairs, and the canonical survivor must be picked per
+    group, not per pair (A~B, B~C must keep exactly one of {A,B,C}).
+
+    Hash-min label propagation WITH pointer jumping: every node starts
+    labeled with its own id; each round it takes the min label across
+    itself and its neighbors, then follows its label's label
+    (shortcutting — the label always names a node in the same
+    component, so jumping stays correct and monotone). The jump
+    squares the propagation distance per round: a path-graph chain —
+    the adversarial worst case for plain hash-min, which needs
+    O(diameter) rounds — converges in O(log diameter). Fixpoint ⇔
+    every node carries the min node id of its component.
+
+    Pure DataFrame ops per round: one shuffle hash join
+    (edges ⋈ labels on node id), one map-side-combining groupBy(min),
+    one labels self-join for the jump; labels localCheckpoint'ed each
+    round so lineage never grows (the wave-loop discipline).
+
+    Convergence detection is O(1) driver-side: labels are monotone
+    non-increasing, so sum(label) is stationary exactly at the
+    fixpoint — one scalar agg per round, no change-count join.
+
+    Scale: near-dup clusters are tiny-diameter by construction
+    (members pairwise-similar ⇒ dense), so dedup graphs converge in
+    2-3 rounds at any data size; the log-diameter bound means even a
+    pathological 10^7-link chain fits in ``max_iter=25``. If a graph
+    still trips it we raise loudly rather than return a half-merged
+    labeling (the keep-rule would silently keep extra copies).
+    """
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum: object = object()  # sentinel ≠ any sum (incl. None on empty input)
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "component"
+        )
+        merged = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component → that node's own (≤) component.
+        # Every label IS a node id, so the inner equi-join always hits.
+        jumps = merged.select(
+            F.col("id").alias("component"), F.col("component").alias("jump")
+        )
+        labels = (
+            merged.join(jumps, "component")
+            .select("id", F.col("jump").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        # decimal sum: an int64 sum could wrap at 10^10-node scale and
+        # (theoretically) alias two different label states; decimal(38)
+        # holds sum(10^10 ids < 10^19) exactly
+        total = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+        if total == prev_sum:
+            return labels
+        prev_sum = total
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: LSH pairs → transitive closure →
+    (doc_id, cluster_id = min doc_id in cluster, is_canonical).
+    Every doc that collided with ANY near-dup appears exactly once;
+    the dedup "keep" rule is ``is_canonical`` (min-id survivor per
+    cluster — deterministic, no tie-break needed)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, a="doc_a", b="doc_b")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+# DuckDB twin: the same transitive closure as a recursive CTE — reach
+# propagates node ids along symmetric edges until closure; min reached
+# id per node = the component's min node id (what hash-min converges
+# to). Only viable at oracle scale, which is the point of an oracle.
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(id, r) AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)
+SELECT id AS doc_id,
+       CAST(MIN(r) AS BIGINT) AS cluster_id,
+       MIN(r) = id AS is_canonical
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """Word-bigram Jaccard near-dups through the SAME banded LSH
     candidate generator as minhash_lsh_pairs (independent seed space,
@@ -433,6 +544,7 @@ QUERIES = {
     "simhash": simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "contamination_check": contamination_check,
+    "neardup_clusters": neardup_clusters,
 }
 
 ORACLES = {
@@ -441,4 +553,5 @@ ORACLES = {
     "simhash": SIMHASH_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "contamination_check": CONTAMINATION_SQL,
+    "neardup_clusters": NEARDUP_CLUSTERS_SQL,
 }
