@@ -266,11 +266,20 @@ RETIRED_FROM_DRIVER = (
     "urls_fetched",
     "multimodal_meta",
     "token_length_buckets",
+    # sessionize_events' exact oracle (SESSIONIZE_SQL) is the driver
+    # gate of sessionize_stateful_stream — the streaming twin — so the
+    # batch row is redundant driver surface; window_paginate_orders is
+    # the window-spelled O2 variant, with O2 itself gated by list_urls
+    # (limit/offset) + topk_orders.
+    "sessionize_events",
+    "window_paginate_orders",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "pq_codes",
+    "pq_adc_topk",
     "video_decode_stats",
     "neardup_clusters",
     "wav_decode_stats",
@@ -316,6 +325,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urls_fetched": q_urls_fetched,
         "multimodal_meta": multimodal_meta,
         "token_length_buckets": tx.QUERIES["token_length_buckets"],
+        "sessionize_events": olap.QUERIES["sessionize_events"],
+        "window_paginate_orders": olap.QUERIES["window_paginate_orders"],
     }
 
 

@@ -51,6 +51,7 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "ann_lsh_topk",
+    "pq_adc_topk",
     "lang_id",
     "quality_score",
     "token_count",

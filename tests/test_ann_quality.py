@@ -85,3 +85,29 @@ def test_ann_recall_floors_on_clustered_fixture(spark):
     # probe #1, so structured data must clear 0.8 as well
     ri = _recall(ivf_topk_frames(df), gt)
     assert ri >= 0.8, ri
+
+
+def test_pq_adc_recall_floor_on_clustered_fixture(spark):
+    """PQ-ADC with exact re-rank must recover the brute-force top-k on
+    clustered data: the ADC shortlist (64 ≫ cluster size) keeps the
+    query's cluster, and the exact re-rank restores the true order.
+    Also pins the encode invariant: a codeword row's own code is its
+    k in every subspace (distance 0 to itself)."""
+    from webcrawlergo_spark.operators.similarity import (
+        PQ_CODE_IDS,
+        PQ_M,
+        pq_adc_topk_frames,
+        pq_codes_frame,
+    )
+
+    vecs = _clustered()
+    gt = _ground_truth(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(N_VECS)],
+        "vec_id long, v array<double>",
+    ).cache()
+    rp = _recall(pq_adc_topk_frames(df), gt)
+    assert rp >= 0.8, rp
+    codes = {r["vec_id"]: r for r in pq_codes_frame(df).collect()}
+    for k, cid in enumerate(PQ_CODE_IDS):
+        assert all(codes[cid][f"c{m}"] == k for m in range(PQ_M)), (k, codes[cid])

@@ -547,6 +547,226 @@ FROM s ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the 64× embedding-store compression path
+# --------------------------------------------------------------------------
+#
+# The third ANN scale path next to LSH and IVF, and the one that makes a
+# 10^10-vector store FIT: a 64-dim float32 vector is 256 bytes; its PQ
+# code is PQ_M bytes (here 8 — one codeword index per subspace). Search
+# is ADC (asymmetric distance computation): the query stays exact, each
+# corpus vector's distance is approximated by a table lookup per
+# subspace — then the top shortlist is re-ranked with exact cosine, the
+# standard production shape (PQ prunes 10^10 → 10^2, exact math touches
+# only the survivors).
+
+PQ_M = 8                 # subspaces
+PQ_SUB = DIM // PQ_M     # dims per subspace
+PQ_K = 16                # codewords per subspace → 4-bit codes
+PQ_SHORTLIST = 64        # ADC survivors re-ranked exactly
+# deterministic codebook: the sub-vectors of 16 fixed corpus rows.
+# Step 9 (coprime to the fixture's 8-cluster id cycle) makes the
+# codewords cover all clusters; a k-means pass would refine them —
+# codebook CHOICE is orthogonal to the encode/ADC plan shape, same
+# argument as CENTROID_IDS above.
+PQ_CODE_IDS = [100 + 9 * i for i in range(PQ_K)]
+
+
+def _sub_l2(a, b, m: int):
+    """Squared L2 between subspace m of two array<double> columns —
+    the same sequential-fold spelling as _dot so Spark and DuckDB
+    produce bit-identical doubles."""
+    sa = F.slice(a, m * PQ_SUB + 1, PQ_SUB)
+    sb = F.slice(b, m * PQ_SUB + 1, PQ_SUB)
+    return F.aggregate(
+        F.zip_with(sa, sb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codebook(vecs: DataFrame) -> DataFrame:
+    """(k, cv): the PQ_K codeword vectors, k = 0..PQ_K-1."""
+    return vecs.filter(F.col("vec_id").isin(PQ_CODE_IDS)).select(
+        ((F.col("vec_id") - PQ_CODE_IDS[0]) / 9).cast("int").alias("k"),
+        F.col("v").alias("cv"),
+    )
+
+
+def pq_codes_frame(vecs: DataFrame) -> DataFrame:
+    """PQ encode: every vector → (c0..c7), c_m = argmin_k of the
+    subspace-m squared L2 to codeword k (6dp-rounded, ties to the
+    lowest k — deterministic in both engines).
+
+    Scale shape (the _cells argument): the codebook is a PQ_K-row
+    broadcast against a narrow map; the per-vector argmins are PQ_M
+    ``min_by`` aggregates over the vec×codeword rows, so they
+    partial-aggregate map-side before the single shuffle on vec_id.
+    At 10^10 vectors: one scan + a key-only shuffle, and the output
+    is 8 small ints per vector — the compressed store."""
+    cb = _pq_codebook(vecs)
+    d = vecs.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "k",
+        *[F.round(_sub_l2(F.col("v"), F.col("cv"), m), 6).alias(f"d{m}") for m in range(PQ_M)],
+    )
+    return d.groupBy("vec_id").agg(
+        *[
+            F.min_by("k", F.struct(F.col(f"d{m}"), F.col("k"))).alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle query: the full PQ code table (scalar int columns — the
+    driver's comparator cannot hash array cells; minhash convention)."""
+    return pq_codes_frame(_vecs(spark, sf_dir)).orderBy("vec_id")
+
+
+def pq_adc_topk_frames(vecs: DataFrame, shortlist: int = PQ_SHORTLIST) -> DataFrame:
+    """PQ-ADC search: per query, one PQ_M×PQ_K distance table (exact
+    sub-distances query↔codewords), each corpus vector scored by
+    PQ_M table lookups, the ``shortlist`` nearest re-ranked with
+    exact cosine → top-K.
+
+    Scale shape: the distance tables are N_QUERIES rows (broadcast);
+    scoring is a narrow codegen map over the CODES table (8 ints per
+    vector — the embeddings themselves are touched only for the
+    shortlist re-rank, a semi-join-sized read); the per-query
+    shortlist cut is the salted two-phase top-K (politeness pattern),
+    never a single-partition window over the corpus."""
+    from webcrawlergo_spark.operators.sampling import salted_topk_per_group
+
+    cb = _pq_codebook(vecs)
+    codes = pq_codes_frame(vecs)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nq"),
+    )
+    dtab = q.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "k",
+        *[F.round(_sub_l2(F.col("qv"), F.col("cv"), m), 6).alias(f"t{m}") for m in range(PQ_M)],
+    )
+    # one array<double> per (query, subspace), codeword-indexed:
+    # array_sort on struct(k, t) orders by k, transform strips to t.
+    # (the m-binding must be a closure, NOT a second lambda default —
+    # pyspark treats a 2-arg lambda as the (element, index) form)
+    def _strip(m: int):
+        return lambda s: s[f"t{m}"]
+
+    dt = dtab.groupBy("query_id").agg(
+        *[
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", f"t{m}"))), _strip(m)
+            ).alias(f"dt{m}")
+            for m in range(PQ_M)
+        ]
+    )
+    approx = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col(f"dt{m}"), F.col(f"c{m}") + 1)
+        approx = term if approx is None else approx + term
+    cand = (
+        codes.crossJoin(F.broadcast(dt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", approx.alias("approx"))
+    )
+    short = salted_topk_per_group(
+        cand, ["query_id"], [F.col("approx"), F.col("vec_id")], shortlist, rank_col="_ark"
+    ).drop("_ark")
+    rer = short.join(
+        vecs.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v")))), "vec_id"
+    ).join(F.broadcast(q), "query_id")
+    score = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6)
+    scored = rer.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.col("approx"), 6).alias("approx_dist"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN over the embeddings table (see pq_adc_topk_frames)."""
+    return pq_adc_topk_frames(_vecs(spark, sf_dir))
+
+
+def _sub_l2_sql(a: str, b: str, m: int) -> str:
+    """DuckDB twin of _sub_l2 (1-based list indexing, same fold)."""
+    return (
+        f"list_aggregate(list_transform(range(0, {PQ_SUB}), i -> "
+        f"({a}[{m * PQ_SUB} + i + 1] - {b}[{m * PQ_SUB} + i + 1])"
+        f" * ({a}[{m * PQ_SUB} + i + 1] - {b}[{m * PQ_SUB} + i + 1])), 'sum')"
+    )
+
+
+# argmin-with-tie-break has no composite-key arg_min in DuckDB 1.x —
+# per-subspace first_value windows are the unambiguous spelling
+_PQ_CODES_CTE = f"""
+cb AS (
+  SELECT CAST((vec_id - {PQ_CODE_IDS[0]}) / 9 AS INTEGER) AS k, v AS cv FROM vecs
+  WHERE vec_id IN ({", ".join(str(i) for i in PQ_CODE_IDS)})),
+d AS (
+  SELECT vec_id, k,
+         {", ".join(f"round({_sub_l2_sql('v', 'cv', m)}, 6) AS d{m}" for m in range(PQ_M))}
+  FROM vecs CROSS JOIN cb),
+codes AS (
+  SELECT DISTINCT vec_id,
+         {", ".join(f"first_value(k) OVER (PARTITION BY vec_id ORDER BY d{m}, k) AS c{m}" for m in range(PQ_M))}
+  FROM d)
+"""
+
+PQ_CODES_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_PQ_CODES_CTE}
+SELECT vec_id, {", ".join(f"c{m}" for m in range(PQ_M))} FROM codes ORDER BY vec_id
+"""
+
+PQ_ADC_TOPK_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_PQ_CODES_CTE},
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}),
+dtab AS (
+  SELECT query_id, k,
+         {", ".join(f"round({_sub_l2_sql('qv', 'cv', m)}, 6) AS t{m}" for m in range(PQ_M))}
+  FROM q CROSS JOIN cb),
+dt AS (
+  SELECT query_id, {", ".join(f"list(t{m} ORDER BY k) AS dt{m}" for m in range(PQ_M))}
+  FROM dtab GROUP BY query_id),
+cand AS (
+  SELECT query_id, vec_id,
+         {" + ".join(f"dt{m}[c{m} + 1]" for m in range(PQ_M))} AS approx
+  FROM codes CROSS JOIN dt WHERE vec_id <> query_id),
+short AS (
+  SELECT query_id, vec_id, approx FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx, vec_id) AS ark FROM cand) t
+  WHERE ark <= {PQ_SHORTLIST}),
+scored AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id, round(s.approx, 6) AS approx_dist,
+         round(list_dot_product(q.qv, vecs.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(vecs.v, vecs.v))), 6) AS score
+  FROM short s JOIN q ON s.query_id = q.query_id
+  JOIN vecs ON vecs.vec_id = s.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, approx_dist, score, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -555,6 +775,8 @@ QUERIES = {
     "ivf_cells": ivf_cells,
     "ivf_topk": ivf_topk,
     "embedding_quantize": embedding_quantize,
+    "pq_codes": pq_codes,
+    "pq_adc_topk": pq_adc_topk,
 }
 
 ORACLES = {
@@ -565,4 +787,6 @@ ORACLES = {
     "ivf_cells": IVF_CELLS_SQL,
     "ivf_topk": IVF_TOPK_SQL,
     "embedding_quantize": EMB_QUANTIZE_SQL,
+    "pq_codes": PQ_CODES_SQL,
+    "pq_adc_topk": PQ_ADC_TOPK_SQL,
 }
