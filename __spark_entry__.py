@@ -270,14 +270,19 @@ RETIRED_FROM_DRIVER = (
     # gate of sessionize_stateful_stream — the streaming twin — so the
     # batch row is redundant driver surface; window_paginate_orders is
     # the window-spelled O2 variant, with O2 itself gated by list_urls
-    # (limit/offset) + topk_orders.
+    # (limit/offset) + topk_orders; stratified_sample's hash-order
+    # selection rule is a fixed-quota special case of resample_to_mix
+    # (its salted top-K machinery keeps wave-politeness parity + the
+    # vs-plain-window unit test).
     "sessionize_events",
     "window_paginate_orders",
+    "stratified_sample",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "resample_to_mix",
     "pq_codes",
     "pq_adc_topk",
     "video_decode_stats",
@@ -327,6 +332,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_length_buckets": tx.QUERIES["token_length_buckets"],
         "sessionize_events": olap.QUERIES["sessionize_events"],
         "window_paginate_orders": olap.QUERIES["window_paginate_orders"],
+        "stratified_sample": smp.QUERIES["stratified_sample"],
     }
 
 

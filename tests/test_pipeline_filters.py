@@ -90,3 +90,35 @@ def test_filters_nonvacuous_on_corpus(spark):
     assert con.filter("NOT contaminated").count() > 0
     # benchmark docs never appear in the scored output
     assert con.filter(f"doc_id % {BENCH_MOD} = 0").count() == 0
+
+
+def test_resample_to_mix_quota_invariants(spark):
+    """The temperature resample must (a) never upsample a stratum,
+    (b) actually downsample the dominant one (non-vacuous on the
+    skewed lang axis), (c) hit floor(N·w) exactly per stratum with
+    N = min floor(n/w), and (d) keep the hash-order prefix (rk runs
+    1..quota — the reproducible-sample contract)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from webcrawlergo_spark.operators.sampling import resample_to_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_by_lang = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(n_by_lang.values())
+    sc = {l: math.sqrt(n / total) for l, n in n_by_lang.items()}
+    w = {l: round(s / sum(sc.values()), 6) for l, s in sc.items()}
+    n_out = min(math.floor(n_by_lang[l] / w[l]) for l in w)
+    expect = {l: math.floor(n_out * w[l]) for l in w}
+
+    out = resample_to_mix(spark, SF_DIR).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["lang"], []).append(r["rk"])
+    assert {l: len(v) for l, v in got.items()} == expect
+    dominant = max(n_by_lang, key=n_by_lang.get)
+    assert len(got[dominant]) < n_by_lang[dominant], "dominant stratum not downsampled"
+    for l, rks in got.items():
+        assert len(rks) <= n_by_lang[l]
+        assert sorted(rks) == list(range(1, len(rks) + 1))

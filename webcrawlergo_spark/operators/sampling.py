@@ -175,14 +175,102 @@ ORDER BY user_id, seq
 """
 
 
+def resample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the temperature mix: downsample every stratum to its
+    mix-weight quota — the operator that turns ``domain_mix_weights``
+    from a report into a corpus.
+
+    The output size is the largest N with no stratum upsampled:
+    N = min_s floor(n_s / w_s); each stratum keeps
+    quota_s = floor(N·w_s) docs, chosen by the deterministic hash
+    order md5(doc_id) (same reproducible-sample rule as
+    stratified_sample — a re-run or a backfill emits the identical
+    corpus).
+
+    Strata are LANGUAGES, not sources: the corpus's sources are
+    uniform by construction (quota = n_s for every source — a
+    vacuous resample), while the language mix is skewed (en ≈ 44%),
+    so the operator provably drops rows: sqrt-temperature boosts the
+    small languages' weights and the dominant language is cut to its
+    quota (en 218 → 117 at sf0.01). Real corpora look like the lang
+    axis (90% one language), which is also why the rank is the
+    distributed one.
+
+    Scale shape: weights/quotas are #strata rows (broadcast); the
+    per-stratum rank is the DISTRIBUTED with_host_seq (range partition
+    + prefix-sum offsets — a mega-stratum never serializes into one
+    window task); the quota filter is a broadcast-join + codegen
+    comparison. One effective shuffle over the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    scaled = F.sqrt(share)
+    weights = counts.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(scaled / F.sum(scaled).over(w_all), 6).alias("mw"),
+    )
+    n_out = weights.agg(
+        F.min(F.floor(F.col("n_docs") / F.col("mw"))).cast("long").alias("n_out")
+    )
+    quota = weights.crossJoin(F.broadcast(n_out)).select(
+        "lang", F.floor(F.col("n_out") * F.col("mw")).cast("long").alias("quota")
+    )
+    ranked = with_host_seq(
+        docs.select(
+            "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+        ),
+        "lang",
+        ["h", "doc_id"],
+        "rk",
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+RESAMPLE_TO_MIX_SQL = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+s AS (
+  SELECT lang, n_docs,
+         n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS share
+  FROM c),
+w AS (
+  SELECT lang, n_docs,
+         round(sqrt(share) / SUM(sqrt(share)) OVER (), 6) AS mw
+  FROM s),
+nout AS (SELECT CAST(MIN(floor(n_docs / mw)) AS BIGINT) AS n_out FROM w),
+q AS (SELECT lang, CAST(floor(n_out * mw) AS BIGINT) AS quota FROM w, nout),
+r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+FROM r JOIN q ON r.lang = q.lang
+WHERE r.rk <= q.quota
+ORDER BY r.lang, r.rk
+"""
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "domain_mix_weights": domain_mix_weights,
     "user_event_seq": user_event_seq,
+    "resample_to_mix": resample_to_mix,
 }
 
 ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "domain_mix_weights": DOMAIN_MIX_SQL,
     "user_event_seq": USER_EVENT_SEQ_SQL,
+    "resample_to_mix": RESAMPLE_TO_MIX_SQL,
 }
