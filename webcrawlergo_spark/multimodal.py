@@ -1,16 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched processing plumbing.
 
-Policy (per the build brief): the image/video decode libraries
-(PIL/ffmpeg) are not in this container, so THOSE decode steps are
-clearly-marked stubs — ``NotImplementedError`` (strict mode) or a
-deterministic fake feature vector (test mode). AUDIO decode is REAL
-since r4: ``decode_blob`` contains a pure-numpy RIFF/WAVE PCM parser
-(8/16-bit, mono/stereo — no external library needed), exercised
-end-to-end by ``wav_decode_stats``: the WAV container is built
-JVM-side (header length fields as little-endian byte math in column
+Policy (per the build brief): decode is REAL wherever a pure-numpy
+parser can honestly own the format — WAV audio (r4: RIFF/WAVE PCM,
+8/16-bit, mono/stereo), PNM images (r5: binary P5/P6, full header
+grammar, 8/16-bit) and AVI video (r5: RIFF hdrl/strl/movi grammar,
+uncompressed 8-bit DIB frames) — and a clearly-marked stub ONLY for
+compressed codecs (jpeg/png/mp4...), whose libraries (PIL/ffmpeg)
+are not in this container: ``NotImplementedError`` (strict mode) or
+a deterministic fake feature vector (test mode). Each real format is
+exercised end-to-end by an oracle query (``wav_decode_stats`` /
+``image_decode_stats`` / ``video_decode_stats``): the container is
+built JVM-side (length fields as little-endian byte math in column
 expressions), parsed executor-side in mapInPandas, and the decoded
-PCM's md5 must round-trip to DuckDB's md5 of the original payload.
+payload's md5 must round-trip to DuckDB's md5 of the original.
 Everything Spark-side is real and tested: binary column construction,
 metadata struct schema, ``mapInPandas`` batch iteration, partitioning,
 and the output schema contract.
