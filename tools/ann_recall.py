@@ -58,6 +58,14 @@ def main() -> None:
         "recall": round(len(gt & got) / len(gt), 3),
         "scanned_frac": round(sim.N_PROBE / sim.N_CELLS, 4),
     }
+
+    # PQ-ADC: every code is scanned (8 table lookups each — that IS the
+    # cheap full scan), so the cost metric is the exact-rerank fraction
+    got = {(r["query_id"], r["neighbor_id"]) for r in sim.pq_adc_topk(spark, sf_dir).collect()}
+    out[f"pq_adc_shortlist{sim.PQ_SHORTLIST}"] = {
+        "recall": round(len(gt & got) / len(gt), 3),
+        "reranked_frac": round(sim.PQ_SHORTLIST / n, 4),
+    }
     print(json.dumps(out))
     spark.stop()
 
