@@ -277,6 +277,14 @@ RETIRED_FROM_DRIVER = (
     "sessionize_events",
     "window_paginate_orders",
     "stratified_sample",
+    # overflow, not redundancy: the 50 driver slots keep the
+    # reference-parity rows; kmeans_cells (the IVF/PQ codebook
+    # trainer) is gated by the SAME merged local comparison plus its
+    # recall-improvement unit test, and its plan primitives
+    # (broadcast-assign min_by partials, groupBy sum partials,
+    # per-round localCheckpoint) are each driver-gated via
+    # ivf_cells'/pq_codes' rows.
+    "kmeans_cells",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
@@ -333,6 +341,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": olap.QUERIES["sessionize_events"],
         "window_paginate_orders": olap.QUERIES["window_paginate_orders"],
         "stratified_sample": smp.QUERIES["stratified_sample"],
+        "kmeans_cells": sim.QUERIES["kmeans_cells"],
     }
 
 

@@ -111,3 +111,43 @@ def test_pq_adc_recall_floor_on_clustered_fixture(spark):
     codes = {r["vec_id"]: r for r in pq_codes_frame(df).collect()}
     for k, cid in enumerate(PQ_CODE_IDS):
         assert all(codes[cid][f"c{m}"] == k for m in range(PQ_M)), (k, codes[cid])
+
+
+def test_kmeans_refinement_improves_cluster_purity(spark):
+    """Lloyd rounds must move the data-row seed centroids TOWARD the
+    true cluster centers: assignment accuracy vs the planted cluster
+    labels after 2 rounds must beat (or match) the 0-round seed
+    assignment, and must be near-perfect on this strongly separated
+    fixture. (The integer-lattice arithmetic is oracle-gated by
+    kmeans_cells; this asserts the refinement is WORTH running.)"""
+    from webcrawlergo_spark.operators.similarity import kmeans_refine_frames
+
+    vecs = _clustered()
+    truth = {}
+    cluster = [i % N_CLUSTERS for i in range(N_VECS)]
+    for j, cid in enumerate(CENTROID_IDS):
+        cluster[cid] = j
+    for q in range(N_QUERIES):
+        cluster[q] = q
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(N_VECS)],
+        "vec_id long, v array<double>",
+    ).cache()
+
+    def accuracy(n_iter):
+        # seed id 10·(j+1) belongs to true cluster j, so cell j should
+        # collect exactly true-cluster-j members
+        assign = {r["vec_id"]: r["cell"] for r in kmeans_refine_frames(df, n_iter=n_iter).collect()}
+        # map each cell to its majority true cluster, score agreement
+        from collections import Counter, defaultdict
+
+        per_cell = defaultdict(Counter)
+        for vid, cell in assign.items():
+            per_cell[cell][cluster[vid]] += 1
+        best = sum(c.most_common(1)[0][1] for c in per_cell.values())
+        return best / len(assign)
+
+    a1 = accuracy(1)
+    a2 = accuracy(2)
+    assert a2 >= a1, (a1, a2)
+    assert a2 >= 0.95, a2

@@ -767,6 +767,138 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Lloyd k-means refinement — the codebook/centroid trainer
+# --------------------------------------------------------------------------
+#
+# IVF and PQ both ship deterministic data-row codebooks with the note
+# "a k-means pass would refine them; centroid CHOICE is orthogonal to
+# the plan shape". This is that pass: batch Lloyd iterations as pure
+# DataFrame ops — assign (broadcast centroids, min_by argmin with
+# map-side partials) then update (one groupBy(cell) with DIM sum
+# aggregates). The portability trick that makes an ITERATIVE float
+# algorithm oracle-exact: everything runs on the 1e-6 integer lattice
+# (q_i = floor(v_i·1e6 + 0.5)). Integer sums are associative — immune
+# to partitioning/visit order, unlike float sums, which differ between
+# Spark's partial aggregation tree and DuckDB's sequential scan — so
+# distances, argmins and the floor(sum/n + 0.5) centroid update are
+# bit-identical in both engines at every iteration, no rounding
+# tolerance needed.
+
+KMEANS_ITER = 2
+
+
+def _quant_vec(v):
+    """v → 1e-6 lattice as array<long> (exact, portable)."""
+    return F.transform(v, lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"))
+
+
+def _int_l2(a, b):
+    """Exact squared L2 between two array<long> lattice vectors.
+    Bounded: |q| ≤ ~1e7 ⇒ Σ64·(Δq)² ≤ ~6.4e15 < 2^63."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_refine_frames(
+    vecs: DataFrame, init_ids: list[int] | None = None, n_iter: int = KMEANS_ITER
+) -> DataFrame:
+    """``n_iter`` Lloyd rounds from the deterministic seed centroids
+    (default: the IVF CENTROID_IDS rows); returns the final
+    assignment (vec_id, cell).
+
+    Per round: one broadcast of K centroid rows against a narrow map
+    (K·N distance rows collapse map-side into one argmin row per
+    vector before the single vec_id shuffle), then one
+    groupBy(cell) with DIM exact integer sums (map-side combine) and
+    the lattice mean floor(sum/n + 0.5). Cells that lose every member
+    drop out (standard Lloyd); centroids are localCheckpoint'ed per
+    round so lineage stays flat (wave-loop discipline). At 10^10
+    vectors each round is one scan + two key-only shuffles."""
+    ids = init_ids if init_ids is not None else CENTROID_IDS
+    q = vecs.select("vec_id", _quant_vec(F.col("v")).alias("q")).localCheckpoint(
+        eager=True
+    )
+    cents = q.filter(F.col("vec_id").isin(ids)).select(
+        ((F.col("vec_id") / 10).cast("int")).alias("cell"), F.col("q").alias("cq")
+    )
+    assign = None
+    for _ in range(n_iter):
+        d = q.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "q", "cell", _int_l2(F.col("q"), F.col("cq")).alias("d")
+        )
+        assign = d.groupBy("vec_id").agg(
+            F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"),
+            F.first("q").alias("q"),
+        )
+        sums = assign.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(DIM)],
+        )
+        cents = sums.select(
+            "cell",
+            F.array(
+                *[
+                    F.floor(F.col(f"s{i}") / F.col("n") + F.lit(0.5)).cast("long")
+                    for i in range(DIM)
+                ]
+            ).alias("cq"),
+        ).localCheckpoint(eager=True)
+    return assign.select("vec_id", "cell")
+
+
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle query: cell assignment after KMEANS_ITER Lloyd rounds."""
+    return kmeans_refine_frames(_vecs(spark, sf_dir)).orderBy("vec_id")
+
+
+def _kmeans_sql(n_iter: int = KMEANS_ITER) -> str:
+    """DuckDB twin, iterations unrolled as CTE pairs (exact integer
+    lattice arithmetic — see the module comment)."""
+    l2 = (
+        "list_aggregate(list_transform(range(0, {dim}), i -> "
+        "(q[i + 1] - cq[i + 1]) * (q[i + 1] - cq[i + 1])), 'sum')"
+    ).format(dim=DIM)
+    parts = [
+        f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(vec_id / 10 AS INTEGER) AS cell, q AS cq FROM qv
+  WHERE vec_id IN ({", ".join(str(i) for i in CENTROID_IDS)}))"""
+    ]
+    for it in range(n_iter):
+        sums_cols = ", ".join(f"SUM(q[{i + 1}]) AS s{i}" for i in range(DIM))
+        mean_cols = ", ".join(
+            f"CAST(floor(s{i} / CAST(n AS DOUBLE) + 0.5) AS BIGINT)" for i in range(DIM)
+        )
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT vec_id, q, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {l2}, cell) AS rn
+    FROM qv CROSS JOIN c{it}) t
+  WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""c{it + 1} AS (
+  SELECT cell, [{mean_cols}] AS cq FROM (
+    SELECT cell, COUNT(*) AS n, {sums_cols} FROM a{it} GROUP BY cell) t)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, cell FROM a{n_iter - 1} ORDER BY vec_id"
+    )
+
+
+KMEANS_CELLS_SQL = _kmeans_sql()
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -777,6 +909,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "pq_codes": pq_codes,
     "pq_adc_topk": pq_adc_topk,
+    "kmeans_cells": kmeans_cells,
 }
 
 ORACLES = {
@@ -789,4 +922,5 @@ ORACLES = {
     "embedding_quantize": EMB_QUANTIZE_SQL,
     "pq_codes": PQ_CODES_SQL,
     "pq_adc_topk": PQ_ADC_TOPK_SQL,
+    "kmeans_cells": KMEANS_CELLS_SQL,
 }
