@@ -33,6 +33,7 @@ from webcrawlergo_spark.multimodal import (
 from webcrawlergo_spark.operators import dedup as dd
 from webcrawlergo_spark.operators import olap
 from webcrawlergo_spark.operators import relational as rel
+from webcrawlergo_spark.operators import retrieval as ret
 from webcrawlergo_spark.operators import sampling as smp
 from webcrawlergo_spark.operators import similarity as sim
 from webcrawlergo_spark.operators import text as tx
@@ -285,11 +286,23 @@ RETIRED_FROM_DRIVER = (
     # per-round localCheckpoint) are each driver-gated via
     # ivf_cells'/pq_codes' rows.
     "kmeans_cells",
+    # r5 session 3: ngram_jaccard_pairs parameterizes the SAME
+    # _lsh_jaccard_pairs/_lsh_sql pair as the driver-live
+    # minhash_lsh_pairs (n=2, looser threshold, independent seeds) —
+    # zero new plan machinery; timestamp_arith's F9 `added_at +
+    # INTERVAL <= cutoff` predicate is a sub-expression of
+    # cutoff_widening's driver-live filter and F9 keeps wave-loop
+    # re-crawl-expiry parity. Slots freed for duplicate_runs +
+    # bm25_topk.
+    "ngram_jaccard_pairs",
+    "timestamp_arith",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "duplicate_runs",
+    "bm25_topk",
     "resample_to_mix",
     "pq_codes",
     "pq_adc_topk",
@@ -342,6 +355,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_paginate_orders": olap.QUERIES["window_paginate_orders"],
         "stratified_sample": smp.QUERIES["stratified_sample"],
         "kmeans_cells": sim.QUERIES["kmeans_cells"],
+        "ngram_jaccard_pairs": dd.QUERIES["ngram_jaccard_pairs"],
+        "timestamp_arith": q_timestamp_arith,
     }
 
 
@@ -368,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutoff_widening": q_cutoff_widening,
     }
     q.update(dd.QUERIES)
+    q.update(ret.QUERIES)
     q.update(sim.QUERIES)
     q.update(tx.QUERIES)
     q.update(olap.QUERIES)
@@ -534,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     o.update(dd.ORACLES)
+    o.update(ret.ORACLES)
     o.update(sim.ORACLES)
     o.update(tx.ORACLES)
     o.update(olap.ORACLES)

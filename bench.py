@@ -58,6 +58,8 @@ HEADLINE = [
     "doc_fingerprint",
     "repetition_score",
     "contamination_check",
+    "duplicate_runs",
+    "bm25_topk",
     "wav_decode_stats",
     "image_decode_stats",
     "video_decode_stats",

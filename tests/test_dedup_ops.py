@@ -201,3 +201,91 @@ def test_neardup_clusters_consistent_with_pairs(spark):
         members.setdefault(c, []).append(doc)
     for c, docs in members.items():
         assert c == min(docs)
+
+
+def _golden_duplicate_runs(texts, n, min_run, max_df):
+    """Pure-Python reference for duplicate_runs_df: grams → df
+    band-pass → match diagonals → maximal islands."""
+    grams = {}  # gram -> list[(doc, pos)]
+    for doc, text in texts:
+        toks = text.split(" ")
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(" ".join(toks[i : i + n]), []).append((doc, i))
+    matches = {}  # (doc_a, doc_b) -> set[(pos_a, pos_b)]
+    for occ in grams.values():
+        if not 2 <= len({d for d, _ in occ}) <= max_df:
+            continue
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    matches.setdefault((da, db), set()).add((pa, pb))
+    out = {}
+    for pair, pts in matches.items():
+        runs = []
+        for pa, pb in sorted(pts):
+            for r in runs:
+                if (pa - 1, pb - 1) in r:
+                    r.add((pa, pb))
+                    break
+            else:
+                runs.append({(pa, pb)})
+        lens = [len(r) + n - 1 for r in runs]
+        if max(lens) >= min_run:
+            out[pair] = (max(lens), len(lens))
+    return out
+
+
+def test_duplicate_runs_matches_python_golden(spark):
+    """Crafted corpus covering every branch: a known 12-token shared
+    run, a run split by a one-token edit (two islands), a within-doc
+    repeated gram (multiple diagonals), a boilerplate gram shared by
+    MORE than max_df docs (must be band-passed away), and a
+    below-min_run pair (must be filtered)."""
+    from webcrawlergo_spark.operators.dedup import duplicate_runs_df
+
+    run12 = " ".join(f"w{i}" for i in range(12))
+    boiler = "b0 b1 b2 b3"  # 4-gram shared by ALL docs below (> max_df=3)
+    texts = [
+        (1, f"{boiler} x1 {run12} y1"),
+        (2, f"{boiler} x2 {run12} y2"),  # shares the 12-run with 1 and 3
+        (3, f"{boiler} {run12[:-4]} zz {run12} q"),  # within-doc repeat
+        (4, f"{boiler} a b c d e f a b c d e f"),  # self-repeat only
+        (5, f"{boiler} p q r s t u v w only five"),
+    ]
+    golden = _golden_duplicate_runs(texts, n=4, min_run=8, max_df=3)
+    assert golden, "fixture produced no golden runs — test is vacuous"
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["max_run_tokens"], r["n_runs"])
+        for r in duplicate_runs_df(docs, n=4, min_run=8, max_df=3).collect()
+    }
+    assert got == golden
+    # the boilerplate 4-gram alone must never create a pair: docs 4/5
+    # share ONLY it, and no (4,·)/(5,·) pair may appear
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_duplicate_runs_fixture_nonvacuous(spark):
+    """The sf0.001 corpus must actually contain qualifying runs and
+    every reported run must be a VERBATIM shared substring of both
+    docs (the exactness claim that distinguishes this from minhash)."""
+    from webcrawlergo_spark.operators.dedup import (
+        MIN_RUN_TOKENS,
+        duplicate_runs,
+    )
+
+    rows = duplicate_runs(spark, SF_DIR).collect()
+    assert rows, "no duplicate runs on the fixture corpus"
+    texts = dict(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows[:10]:
+        ta, tb = texts[r["doc_a"]].split(" "), texts[r["doc_b"]].split(" ")
+        k = r["max_run_tokens"]
+        assert k >= MIN_RUN_TOKENS
+        subs = {" ".join(ta[i : i + k]) for i in range(len(ta) - k + 1)}
+        assert any(
+            " ".join(tb[j : j + k]) in subs for j in range(len(tb) - k + 1)
+        ), f"reported {k}-token run between {r['doc_a']}/{r['doc_b']} is not verbatim-shared"

@@ -524,6 +524,133 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+N_RUNGRAM = 8  # word 8-grams — the duplicate-run probe width
+MIN_RUN_TOKENS = 15  # report runs of ≥15 shared consecutive tokens
+MAX_GRAM_DF = 16  # grams in more docs than this are boilerplate — dropped
+
+
+def duplicate_runs_df(
+    docs: DataFrame,
+    n: int = N_RUNGRAM,
+    min_run: int = MIN_RUN_TOKENS,
+    max_df: int = MAX_GRAM_DF,
+) -> DataFrame:
+    """Exact substring dedup (the suffix-array style of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): for every doc pair sharing a verbatim
+    run of ≥ ``min_run`` consecutive tokens, report the longest run
+    and the run count.
+
+    Shape — no suffix array needed, runs fall out of join diagonals:
+
+    1. positional word ``n``-grams per doc (ONE codegen regex pass —
+       the same lookahead trick as ``_shingles``, but posexploded so
+       each gram keeps its token offset), hashed to md5 before any
+       shuffle (16-byte digests move, text never does);
+    2. **df band-pass [2, max_df]**: a gram in one doc can't witness a
+       cross-doc run (the bulk of all grams — pruned BEFORE the
+       self-join), and a gram in > ``max_df`` docs is boilerplate
+       whose bucket would go quadratic (the hot-key guard; real
+       pipelines drop over-represented substrings for the same
+       reason). One shuffle on the digest.
+    3. bucket self-join on the digest (doc_a < doc_b) → match points
+       (pos_a, pos_b); consecutive matching grams share a join
+       **diagonal** (pos_a − pos_b), so a shared k-token run is a
+       gapless island of k−n+1 points on one diagonal;
+    4. gaps-and-islands per (doc_a, doc_b, diagonal): island id =
+       pos_a − row_number(order by pos_a) — window keys are
+       per-pair-per-diagonal, so no mega-partition at any corpus
+       size; run_tokens = island size + n − 1.
+
+    At 100 TB every shuffle payload is (digest, doc_id, pos); the df
+    band-pass caps bucket width at ``max_df`` so the join output is
+    ≤ C(max_df,2) rows per shared gram — linear in corpus size, never
+    the n² of all-pairs.
+    """
+    pat = gram_pattern(n)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.coalesce(
+                F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1)),
+                F.array().cast("array<string>"),
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5("g").alias("h"))
+    eligible = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("gdf"))
+        .filter((F.col("gdf") >= 2) & (F.col("gdf") <= max_df))
+        .select("h")
+    )
+    shared = grams.join(eligible, "h", "left_semi").localCheckpoint(eager=True)
+    a, b = shared.alias("a"), shared.alias("b")
+    m = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg((F.count("*") + F.lit(n - 1)).alias("run_tokens"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_tokens").alias("max_run_tokens"),
+            F.count("*").alias("n_runs"),
+        )
+        .filter(F.col("max_run_tokens") >= min_run)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def duplicate_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_runs_df(docs)
+
+
+def _duplicate_runs_sql(
+    n: int = N_RUNGRAM, min_run: int = MIN_RUN_TOKENS, max_df: int = MAX_GRAM_DF
+) -> str:
+    """DuckDB twin of duplicate_runs_df (same grams, same df band-pass,
+    same diagonal-island arithmetic)."""
+    gram = " || ' ' || ".join(f"s[i + {j + 1}]" for j in range(n))
+    return f"""
+WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+g AS (SELECT doc_id, i AS pos, md5({gram}) AS h
+      FROM s0, unnest(range(0, len(s) - {n - 1})) t(i)),
+eligible AS (SELECT h FROM g GROUP BY h
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {max_df}),
+shared AS (SELECT * FROM g WHERE h IN (SELECT h FROM eligible)),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+             a.pos - b.pos AS diag
+      FROM shared a JOIN shared b ON a.h = b.h AND a.doc_id < b.doc_id),
+isl AS (SELECT doc_a, doc_b, diag,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+        FROM m),
+runs AS (SELECT doc_a, doc_b, COUNT(*) + {n - 1} AS run_tokens
+         FROM isl GROUP BY doc_a, doc_b, diag, island)
+SELECT doc_a, doc_b,
+       CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+       COUNT(*) AS n_runs
+FROM runs GROUP BY doc_a, doc_b
+HAVING MAX(run_tokens) >= {min_run}
+ORDER BY doc_a, doc_b
+"""
+
+
+DUPLICATE_RUNS_SQL = _duplicate_runs_sql()
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """Word-bigram Jaccard near-dups through the SAME banded LSH
     candidate generator as minhash_lsh_pairs (independent seed space,
@@ -545,6 +672,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "contamination_check": contamination_check,
     "neardup_clusters": neardup_clusters,
+    "duplicate_runs": duplicate_runs,
 }
 
 ORACLES = {
@@ -554,4 +682,5 @@ ORACLES = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+    "duplicate_runs": DUPLICATE_RUNS_SQL,
 }
