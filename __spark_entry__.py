@@ -30,8 +30,10 @@ from webcrawlergo_spark.multimodal import (
     video_decode_stats,
     wav_decode_stats,
 )
+from webcrawlergo_spark.operators import asof as asf
 from webcrawlergo_spark.operators import dedup as dd
 from webcrawlergo_spark.operators import olap
+from webcrawlergo_spark.operators import sketch as sk
 from webcrawlergo_spark.operators import relational as rel
 from webcrawlergo_spark.operators import retrieval as ret
 from webcrawlergo_spark.operators import sampling as smp
@@ -296,11 +298,21 @@ RETIRED_FROM_DRIVER = (
     # bm25_topk.
     "ngram_jaccard_pairs",
     "timestamp_arith",
+    # r5 session 4: url_by_id's machinery (point equi-predicate +
+    # projection pruning on a registry view) is a strict subset of
+    # the driver-live pages_by_url row; user_event_seq drives the
+    # SAME plans/rank.py::with_host_seq distributed rank as the
+    # driver-live resample_to_mix (which layers quotas on top of it).
+    # Slots freed for purchases_asof_clicks + hll_distinct.
+    "url_by_id",
+    "user_event_seq",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "purchases_asof_clicks",
+    "hll_distinct",
     "duplicate_runs",
     "bm25_topk",
     "resample_to_mix",
@@ -357,6 +369,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": sim.QUERIES["kmeans_cells"],
         "ngram_jaccard_pairs": dd.QUERIES["ngram_jaccard_pairs"],
         "timestamp_arith": q_timestamp_arith,
+        "url_by_id": q_url_by_id,
+        "user_event_seq": smp.QUERIES["user_event_seq"],
     }
 
 
@@ -382,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_sanitized_paths": q_export_sanitized_paths,
         "cutoff_widening": q_cutoff_widening,
     }
+    q.update(asf.QUERIES)
+    q.update(sk.QUERIES)
     q.update(dd.QUERIES)
     q.update(ret.QUERIES)
     q.update(sim.QUERIES)
@@ -549,6 +565,8 @@ def oracle_sql() -> dict[str, str]:
         FROM latest WHERE rn = 1 ORDER BY url_id
         """,
     }
+    o.update(asf.ORACLES)
+    o.update(sk.ORACLES)
     o.update(dd.ORACLES)
     o.update(ret.ORACLES)
     o.update(sim.ORACLES)

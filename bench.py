@@ -60,6 +60,8 @@ HEADLINE = [
     "contamination_check",
     "duplicate_runs",
     "bm25_topk",
+    "purchases_asof_clicks",
+    "hll_distinct",
     "wav_decode_stats",
     "image_decode_stats",
     "video_decode_stats",
