@@ -32,8 +32,10 @@ from webcrawlergo_spark.multimodal import (
 )
 from webcrawlergo_spark.operators import asof as asf
 from webcrawlergo_spark.operators import dedup as dd
+from webcrawlergo_spark.operators import interval as itv
 from webcrawlergo_spark.operators import olap
 from webcrawlergo_spark.operators import sketch as sk
+from webcrawlergo_spark.operators import stats as st
 from webcrawlergo_spark.operators import relational as rel
 from webcrawlergo_spark.operators import retrieval as ret
 from webcrawlergo_spark.operators import sampling as smp
@@ -306,11 +308,24 @@ RETIRED_FROM_DRIVER = (
     # Slots freed for purchases_asof_clicks + hll_distinct.
     "url_by_id",
     "user_event_seq",
+    # r5 session 4b: monitored_alive's P5 machinery (AND of two
+    # boolean point predicates + pruned scan) is a strict subset of
+    # the driver-live list_urls (P3/P4 dynamic predicates) and the
+    # flagship latest_pages row (which carries is_monitored/is_alive
+    # through its join); latest_pages_export's P15 cutoff predicate
+    # is cutoff_widening's live filter and its P16 prefix+substring
+    # LIKEs are list_urls' live machinery — the export SINK (S10/F7)
+    # keeps its own live row (export_sanitized_paths). Slots freed
+    # for exact_percentiles + range_join_error_windows.
+    "monitored_alive",
+    "latest_pages_export",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "exact_percentiles",
+    "range_join_error_windows",
     "purchases_asof_clicks",
     "hll_distinct",
     "duplicate_runs",
@@ -371,6 +386,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_arith": q_timestamp_arith,
         "url_by_id": q_url_by_id,
         "user_event_seq": smp.QUERIES["user_event_seq"],
+        "monitored_alive": q_monitored_alive,
+        "latest_pages_export": q_latest_pages_export,
     }
 
 
@@ -398,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q.update(asf.QUERIES)
     q.update(sk.QUERIES)
+    q.update(st.QUERIES)
+    q.update(itv.QUERIES)
     q.update(dd.QUERIES)
     q.update(ret.QUERIES)
     q.update(sim.QUERIES)
@@ -567,6 +586,8 @@ def oracle_sql() -> dict[str, str]:
     }
     o.update(asf.ORACLES)
     o.update(sk.ORACLES)
+    o.update(st.ORACLES)
+    o.update(itv.ORACLES)
     o.update(dd.ORACLES)
     o.update(ret.ORACLES)
     o.update(sim.ORACLES)

@@ -62,6 +62,8 @@ HEADLINE = [
     "bm25_topk",
     "purchases_asof_clicks",
     "hll_distinct",
+    "exact_percentiles",
+    "range_join_error_windows",
     "wav_decode_stats",
     "image_decode_stats",
     "video_decode_stats",

@@ -1,0 +1,96 @@
+"""Exact distributed order statistics — percentiles without a global
+sort.
+
+`approx_percentile` trades accuracy for one pass; a naive exact
+spelling (`ORDER BY value` + pick rows, or `percent_rank` over the
+corpus) collapses into a single-partition sort. This operator is
+exact AND stays parallel:
+
+1. `groupBy(value).count()` — one shuffle, map-side combine; the
+   working set shrinks from rows to DISTINCT values;
+2. global inclusive prefix sum of the counts in value order via the
+   range-partition recipe (`plans/rank.py::with_running_sum`: 3
+   passes, per-partition offsets from a #partitions-sized driver
+   cumsum — never `SUM() OVER (ORDER BY ...)`'s single partition);
+3. target ranks = ceil(p·N) from a 1-row total (broadcast); the
+   answer for p is the MINIMUM value whose cumulative count reaches
+   its target — a ≤|pcts|-row broadcast-nested-loop against the
+   cumulative frame, then a tiny groupBy(p).min(value).
+
+This is the discrete (type-1 / inverted-CDF) quantile: the returned
+value is always an element of the input. At 10^10 rows the plan
+moves one counts-shuffle plus a #distinct-values prefix sum; the
+percentile list never grows with data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from webcrawlergo_spark.plans.rank import with_running_sum
+
+PCTS = (0.5, 0.95, 0.99)
+
+
+def exact_percentiles_frame(
+    df: DataFrame, col: str, pcts: tuple[float, ...] = PCTS
+) -> DataFrame:
+    """(pct, value, rank_at, n_rows) per requested percentile —
+    value is the smallest input element whose cumulative count
+    reaches ceil(pct · n)."""
+    spark = df.sparkSession
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = with_running_sum(counts, ["v"], "cnt", "cum")
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    targets = (
+        spark.createDataFrame([(p,) for p in pcts], "pct double")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pct",
+            F.ceil(F.col("pct") * F.col("n")).cast("bigint").alias("target"),
+            "n",
+        )
+    )
+    return (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("pct")
+        .agg(
+            F.min("v").alias("value"),
+            F.first("target").alias("rank_at"),
+            F.first("n").alias("n_rows"),
+        )
+        .orderBy("pct")
+    )
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of lineitem extended price, exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return exact_percentiles_frame(li, "l_extendedprice")
+
+
+def _percentiles_sql(col: str = "l_extendedprice", pcts: tuple[float, ...] = PCTS) -> str:
+    vals = ", ".join(f"({p}e0)" for p in pcts)
+    return f"""
+WITH c AS (SELECT {col} AS v, COUNT(*) AS cnt FROM lineitem
+           WHERE {col} IS NOT NULL GROUP BY v),
+cum AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+t AS (SELECT pct, CAST(ceil(pct * n) AS BIGINT) AS target, n
+      FROM (VALUES {vals}) p(pct), tot)
+SELECT t.pct, MIN(cum.v) AS value, t.target AS rank_at, t.n AS n_rows
+FROM t JOIN cum ON cum.cum >= t.target
+GROUP BY t.pct, t.target, t.n
+ORDER BY t.pct
+"""
+
+
+EXACT_PERCENTILES_SQL = _percentiles_sql()
+
+
+QUERIES = {"exact_percentiles": exact_percentiles}
+ORACLES = {"exact_percentiles": EXACT_PERCENTILES_SQL}
