@@ -319,11 +319,18 @@ RETIRED_FROM_DRIVER = (
     # for exact_percentiles + range_join_error_windows.
     "monitored_alive",
     "latest_pages_export",
+    # r5 session 4c: date_format_events' F11/F12 strftime patterns
+    # run through the same to_timestamp/date_format scalar machinery
+    # the driver-live scalar_string_funcs and events_tumbling_agg
+    # rows exercise (tumbling buckets ARE timestamp truncation).
+    # Slot freed for weighted_sample_topk (A-ES sampling).
+    "date_format_events",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "weighted_sample_topk",
     "exact_percentiles",
     "range_join_error_windows",
     "purchases_asof_clicks",
@@ -388,6 +395,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_seq": smp.QUERIES["user_event_seq"],
         "monitored_alive": q_monitored_alive,
         "latest_pages_export": q_latest_pages_export,
+        "date_format_events": olap.QUERIES["date_format_events"],
     }
 
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "hll_distinct",
     "exact_percentiles",
     "range_join_error_windows",
+    "weighted_sample_topk",
     "wav_decode_stats",
     "image_decode_stats",
     "video_decode_stats",

@@ -93,6 +93,38 @@ def test_asof_fixture_nonvacuous_and_sound(spark):
         assert (r["click_ts"], r["click_id"]) == (want[0], want[1])
 
 
+def test_asof_randomized_vs_python_golden(spark):
+    """Three seeded random build/probe streams (dense ts collisions
+    across keys, sparse builds, empty-build keys) — the Spark as-of
+    must equal the brute-force Python definition on every row."""
+    import random
+
+    for seed in (7, 99, 4242):
+        rng = random.Random(seed)
+        keys = [f"k{i}" for i in range(6)]
+        builds = [
+            (rng.choice(keys[:5]), i, _t(rng.randrange(0, 300)))
+            for i in range(40)
+        ]
+        probes = [
+            (100 + i, rng.choice(keys), _t(rng.randrange(0, 300)))
+            for i in range(60)
+        ]
+        b = spark.createDataFrame(builds, "k string, bid long, bts timestamp")
+        p = spark.createDataFrame(probes, "pid long, k string, pts timestamp")
+        got = {
+            r["pid"]: r["asof_bid"]
+            for r in asof_join(p, b, on="k", probe_ts="pts", build_ts="bts").collect()
+        }
+        for pid, k, pts in probes:
+            prior = [(bts, bid) for bk, bid, bts in builds if bk == k and bts <= pts]
+            # latest bts wins; among bts ties the window's struct
+            # tiebreak orders by payload (bid first), so max bid —
+            # exactly max() over (bts, bid)
+            want = max(prior)[1] if prior else None
+            assert got[pid] == want, (seed, pid)
+
+
 def _hll_golden(values):
     regs = [0] * HLL_M
     for v in values:

@@ -72,6 +72,24 @@ def test_percentiles_plan_no_single_partition_sort(spark):
     # asserted away here)
 
 
+def test_percentiles_randomized_vs_sorted(spark):
+    """Seeded random multisets (heavy duplication, negative values,
+    huge spread) — the distributed pick must equal the sorted-list
+    index for every requested percentile."""
+    import math
+    import random
+
+    for seed in (3, 1234):
+        rng = random.Random(seed)
+        vals = [float(rng.choice([-5, 0, 1, 2, 2, 2, 7, 10**6, rng.randrange(100)])) for _ in range(800)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        pcts = (0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+        got = {r["pct"]: r["value"] for r in exact_percentiles_frame(df, "x", pcts=pcts).collect()}
+        s = sorted(vals)
+        for p in pcts:
+            assert got[p] == s[math.ceil(p * len(s)) - 1], (seed, p)
+
+
 def test_range_join_bucket_edges(spark):
     """Boundary semantics pinned: start inclusive, end exclusive, a
     window straddling a bucket edge still sees points in both halves

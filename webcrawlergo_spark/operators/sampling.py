@@ -261,11 +261,84 @@ ORDER BY r.lang, r.rk
 """
 
 
+WS_K = 20  # sample size
+WS_SEED = "ws0"  # hash-domain tag — vary to draw independent samples
+
+
+def weighted_sample_frame(
+    docs, weight_col, k: int = WS_K, seed: str = WS_SEED
+):
+    """Efraimidis-Spirakis (A-ES) weighted sampling WITHOUT
+    replacement, the quality-weighted corpus-selection primitive:
+    draw ``k`` docs where inclusion probability tracks the weight.
+
+    A-ES reduces weighted sampling to a plain top-k: key_i =
+    u_i^(1/w_i) with u_i uniform; the k largest keys ARE a weighted
+    sample without replacement (Efraimidis & Spirakis 2006). Here:
+
+    - u_i is md5-derived (seed-tagged), so the "randomness" is a
+      deterministic column — reproducible across engines and re-runs,
+      and drawing another independent sample is just another seed
+      string (no RNG state to ship);
+    - the monotone form ln(u)/w replaces the pow() (one libm call,
+      same order statistics);
+    - the cut orders by the 6dp floor-rounded key with doc_id
+      tiebreak, so a sub-6dp libm ln() divergence cannot reorder it
+      (the bm25 convention);
+    - the top-k compiles to TakeOrderedAndProject — per-partition
+      heaps of k, one k·#partitions driver merge, no global sort.
+      The whole plan is a narrow codegen map + top-k: at 10^10 docs
+      nothing shuffles but the per-partition winners.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "-"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.log(u) / w
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("weight"),
+            (F.floor(key * 1e6 + F.lit(0.5)) / 1e6).alias("key_6"),
+        )
+        .orderBy(F.col("key_6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted A-ES sample of the documents corpus (weight =
+    character count — the stand-in for any per-doc quality score)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample_frame(docs, "n_chars")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         greatest(CAST(n_chars AS DOUBLE), 1.0e0) AS weight,
+         (CAST(CAST('0x' || substr(md5('{WS_SEED}-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5e0)
+           / 1152921504606846976.0e0 AS u
+  FROM documents)
+SELECT doc_id, weight,
+       floor(ln(u) / weight * 1e6 + 0.5) / 1e6 AS key_6
+FROM d ORDER BY key_6 DESC, doc_id ASC LIMIT {WS_K}
+"""
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "domain_mix_weights": domain_mix_weights,
     "user_event_seq": user_event_seq,
     "resample_to_mix": resample_to_mix,
+    "weighted_sample_topk": weighted_sample_topk,
 }
 
 ORACLES = {
@@ -273,4 +346,5 @@ ORACLES = {
     "domain_mix_weights": DOMAIN_MIX_SQL,
     "user_event_seq": USER_EVENT_SEQ_SQL,
     "resample_to_mix": RESAMPLE_TO_MIX_SQL,
+    "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
 }

@@ -13,9 +13,11 @@ exact AND stays parallel:
    passes, per-partition offsets from a #partitions-sized driver
    cumsum — never `SUM() OVER (ORDER BY ...)`'s single partition);
 3. target ranks = ceil(p·N) from a 1-row total (broadcast); the
-   answer for p is the MINIMUM value whose cumulative count reaches
-   its target — a ≤|pcts|-row broadcast-nested-loop against the
-   cumulative frame, then a tiny groupBy(p).min(value).
+   answer for p is the unique STRADDLING value — the one whose
+   exclusive..inclusive cumulative range contains the target
+   (cum − cnt < target ≤ cum). The ≤|pcts|-row broadcast join
+   therefore emits exactly one row per percentile (never the
+   ~N·(1−p) rows a bare `cum >= target` + min-agg would shuffle).
 
 This is the discrete (type-1 / inverted-CDF) quantile: the returned
 value is always an element of the input. At 10^10 rows the plan
@@ -56,13 +58,12 @@ def exact_percentiles_frame(
         )
     )
     return (
-        cum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
-        .groupBy("pct")
-        .agg(
-            F.min("v").alias("value"),
-            F.first("target").alias("rank_at"),
-            F.first("n").alias("n_rows"),
+        cum.join(
+            F.broadcast(targets),
+            (F.col("cum") - F.col("cnt") < F.col("target"))
+            & (F.col("target") <= F.col("cum")),
         )
+        .select("pct", F.col("v").alias("value"), F.col("target").alias("rank_at"), F.col("n").alias("n_rows"))
         .orderBy("pct")
     )
 
@@ -78,13 +79,12 @@ def _percentiles_sql(col: str = "l_extendedprice", pcts: tuple[float, ...] = PCT
     return f"""
 WITH c AS (SELECT {col} AS v, COUNT(*) AS cnt FROM lineitem
            WHERE {col} IS NOT NULL GROUP BY v),
-cum AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+cum AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
 tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
 t AS (SELECT pct, CAST(ceil(pct * n) AS BIGINT) AS target, n
       FROM (VALUES {vals}) p(pct), tot)
-SELECT t.pct, MIN(cum.v) AS value, t.target AS rank_at, t.n AS n_rows
-FROM t JOIN cum ON cum.cum >= t.target
-GROUP BY t.pct, t.target, t.n
+SELECT t.pct, cum.v AS value, t.target AS rank_at, t.n AS n_rows
+FROM t JOIN cum ON cum.cum - cum.cnt < t.target AND t.target <= cum.cum
 ORDER BY t.pct
 """
 
