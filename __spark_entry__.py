@@ -32,6 +32,7 @@ from webcrawlergo_spark.multimodal import (
 )
 from webcrawlergo_spark.operators import asof as asf
 from webcrawlergo_spark.operators import dedup as dd
+from webcrawlergo_spark.operators import graph as gr
 from webcrawlergo_spark.operators import interval as itv
 from webcrawlergo_spark.operators import olap
 from webcrawlergo_spark.operators import sketch as sk
@@ -42,7 +43,12 @@ from webcrawlergo_spark.operators import sampling as smp
 from webcrawlergo_spark.operators import similarity as sim
 from webcrawlergo_spark.operators import text as tx
 from webcrawlergo_spark.operators import window as win
-from webcrawlergo_spark.operators.crawl_queries import crawl_bfs_depth, link_extract_spans
+from webcrawlergo_spark.operators.crawl_queries import (
+    anchor_text_agg,
+    crawl_bfs_depth,
+    crawl_delta,
+    link_extract_spans,
+)
 from webcrawlergo_spark.sources import crawlviews as cv
 from webcrawlergo_spark.sources.tpch import load_table
 from webcrawlergo_spark.streaming.windowed import TUMBLING_SQL, tumbling_event_counts
@@ -325,11 +331,46 @@ RETIRED_FROM_DRIVER = (
     # rows exercise (tumbling buckets ARE timestamp truncation).
     # Slot freed for weighted_sample_topk (A-ES sampling).
     "date_format_events",
+    # r5 session 5: union_retries_dedup's U1/U2 (union-distinct of two
+    # registry filters) is wave-loop parity-gated (retry ∪ new,
+    # wave.py:634-646) and its plan pieces are live via list_urls
+    # (the LIKE filters) + dedup_exact (the distinct); topk_orders'
+    # TakeOrderedAndProject physical shape is plan-asserted by the
+    # driver-live weighted_sample_topk (same operator, computed key)
+    # with limit/offset live via list_urls; group_agg_lineitem's
+    # map-side partial agg on lineitem is subsumed by rollup_lineitem
+    # (ROLLUP contains the plain grouping as its finest grouping set,
+    # same sum/count aggregates on the same table); domain_mix_weights'
+    # share→sqrt→normalize pipeline is recomputed verbatim as the
+    # first stage of the driver-live resample_to_mix. Slots freed for
+    # link_pagerank + semdedup_keep + cms_heavy_hitters +
+    # chunk_documents.
+    "union_retries_dedup",
+    "topk_orders",
+    "group_agg_lineitem",
+    "domain_mix_weights",
+    # r5 session 5b: cosine_topk's brute scoring (zip_with fold +
+    # 6dp round + window top-k) is the identical scoring stage of the
+    # driver-live ann_lsh_topk / ivf_topk / pq_adc_topk rows, and the
+    # ANN recall CI (tests/test_ann_quality.py) recomputes the brute
+    # ground truth on every run; minhash_signatures is the signature
+    # stage the driver-live minhash_lsh_pairs computes verbatim
+    # (explode+groupBy-min, dedup.py:84-113) with its scalar mh0..mh7
+    # convention unit-pinned. Slots freed for anchor_text_agg +
+    # crawl_delta.
+    "cosine_topk",
+    "minhash_signatures",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "link_pagerank",
+    "anchor_text_agg",
+    "crawl_delta",
+    "semdedup_keep",
+    "cms_heavy_hitters",
+    "chunk_documents",
     "weighted_sample_topk",
     "exact_percentiles",
     "range_join_error_windows",
@@ -396,6 +437,12 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monitored_alive": q_monitored_alive,
         "latest_pages_export": q_latest_pages_export,
         "date_format_events": olap.QUERIES["date_format_events"],
+        "union_retries_dedup": q_union_retries_dedup,
+        "topk_orders": q_topk_orders,
+        "group_agg_lineitem": q_group_agg_lineitem,
+        "domain_mix_weights": smp.QUERIES["domain_mix_weights"],
+        "cosine_topk": sim.QUERIES["cosine_topk"],
+        "minhash_signatures": dd.QUERIES["minhash_signatures"],
     }
 
 
@@ -422,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutoff_widening": q_cutoff_widening,
     }
     q.update(asf.QUERIES)
+    q.update(gr.QUERIES)
     q.update(sk.QUERIES)
     q.update(st.QUERIES)
     q.update(itv.QUERIES)
@@ -433,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(smp.QUERIES)
     q["link_extract_spans"] = link_extract_spans
     q["crawl_bfs_depth"] = crawl_bfs_depth
+    q["anchor_text_agg"] = anchor_text_agg
+    q["crawl_delta"] = crawl_delta
     q["events_tumbling_agg"] = lambda spark, sf_dir: tumbling_event_counts(
         load_table(spark, sf_dir, "events")
     )
@@ -593,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     o.update(asf.ORACLES)
+    o.update(gr.ORACLES)
     o.update(sk.ORACLES)
     o.update(st.ORACLES)
     o.update(itv.ORACLES)

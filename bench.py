@@ -70,6 +70,10 @@ HEADLINE = [
     "video_decode_stats",
     "neardup_clusters",
     "crawl_bfs_depth",
+    "link_pagerank",
+    "semdedup_keep",
+    "cms_heavy_hitters",
+    "chunk_documents",
 ]
 
 

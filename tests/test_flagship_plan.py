@@ -75,7 +75,8 @@ def test_dedup_family_partial_aggregates(spark):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    # merged surface: retired-from-driver entries keep their plan gates
+    qs = {**entry.retired_queries(), **entry.queries()}
     for name, marker in (
         ("minhash_signatures", "partial_min"),
         ("simhash", "partial_sum"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 MAX_DEPTH = 6
 _EDGE_MULS = ((7, 1), (13, 2), (31, 3))  # dst = (src*a + b) % n_docs
@@ -179,7 +179,177 @@ bfs AS (
 SELECT node, CAST(MIN(depth) AS INTEGER) AS depth FROM bfs GROUP BY node ORDER BY node
 """
 
+# --------------------------------------------------------------------------
+# Anchor-text aggregation — the per-target link-context index
+# --------------------------------------------------------------------------
+
+
+def anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor aggregation: every extracted link carries its
+    anchor context (the token preceding it in document order); the
+    aggregate per target href is (in-reference count, distinct source
+    docs, lexicographically-first anchor) — the index a crawler builds
+    so a page is describable by what OTHER pages say about it (the
+    classic anchor-text signal; the reference walks anchors in
+    document order, crawler.go:376-401, but never aggregates them).
+
+    Plan shape: the token stream keeps document order as computed
+    columns (the X1 invariant); the anchor is a lag window partitioned
+    by (doc_id, offset) — per-span sequences, bounded by document
+    length, so the window never sees a mega-partition. One shuffle on
+    the doc key for the lag, one map-side-combining groupBy on href.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = docs_as_spans(docs).select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.offset").alias("offset"),
+    )
+    toks = flat.filter(F.col("kind") == "text").select(
+        "doc_id", "offset", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id", "offset").orderBy("pos")
+    with_anchor = toks.withColumn("anchor", F.lag("tok", 1, "").over(w))
+    links = with_anchor.filter(F.col("tok").startswith("s")).select(
+        F.concat(F.lit("https://site.test/"), F.col("tok")).alias("href"),
+        "doc_id",
+        "anchor",
+    )
+    return (
+        links.groupBy("href")
+        .agg(
+            F.count("*").cast("bigint").alias("n_refs"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_src_docs"),
+            F.min("anchor").alias("first_anchor"),
+        )
+        .orderBy("href")
+    )
+
+
+ANCHOR_TEXT_SQL = """
+WITH toks AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos), '') AS anchor
+  FROM (
+    SELECT doc_id,
+           unnest(range(0, len(s))) AS pos,
+           unnest(s) AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t) u)
+SELECT 'https://site.test/' || tok AS href,
+       CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+       MIN(anchor) AS first_anchor
+FROM toks WHERE tok LIKE 's%'
+GROUP BY tok ORDER BY href
+"""
+
+
+# --------------------------------------------------------------------------
+# Crawl snapshot delta — what changed between two crawl cutoffs
+# --------------------------------------------------------------------------
+
+DELTA_T0 = "2024-01-02 00:00:00"
+DELTA_T1 = "2024-01-04 00:00:00"
+
+
+def crawl_delta_frames(pages: DataFrame, t0: str = DELTA_T0, t1: str = DELTA_T1) -> DataFrame:
+    """Snapshot diff of the append-only pages log between cutoffs t0
+    and t1: per URL, is it NEW (first fetched in (t0, t1]), UPDATED
+    (latest page row changed), or UNCHANGED — plus the number of
+    fetches in the window. The incremental-re-crawl planner's input
+    (reference init.go:39-75 classifies single URLs against an expiry
+    cutoff at resume; this is the set-level operator).
+
+    Plan shape: the t1-filtered log shuffles ONCE on url_id; both
+    snapshot windows and the fetch-count aggregate run over that same
+    partitioning (Catalyst reuses the exchange — the W1 lesson,
+    window.py), then a codegen CASE labels each URL. The t0 snapshot
+    is the t1 pass re-windowed with a <= t0 predicate, never a second
+    scan of the log."""
+    t0lit = F.lit(t0).cast("timestamp")
+    upper = pages.filter(F.col("added_at") <= F.lit(t1).cast("timestamp")).select(
+        "url_id", "id", "added_at"
+    )
+    w = Window.partitionBy("url_id").orderBy(F.col("added_at").desc(), F.col("id").desc())
+    latest1 = (
+        upper.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url_id", F.col("id").alias("latest_id_t1"))
+    )
+    latest0 = (
+        upper.filter(F.col("added_at") <= t0lit)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url_id", F.col("id").alias("latest_id_t0"))
+    )
+    counts = upper.groupBy("url_id").agg(
+        F.sum(F.when(F.col("added_at") > t0lit, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_new_fetches")
+    )
+    return (
+        latest1.join(latest0, "url_id", "left")
+        .join(counts, "url_id")
+        .select(
+            "url_id",
+            F.when(F.col("latest_id_t0").isNull(), F.lit("new"))
+            .when(F.col("latest_id_t1") != F.col("latest_id_t0"), F.lit("updated"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+            "n_new_fetches",
+            "latest_id_t1",
+        )
+        .orderBy("url_id")
+    )
+
+
+def crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawlergo_spark.sources import crawlviews as cv
+    from webcrawlergo_spark.sources.tpch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return crawl_delta_frames(cv.pages_view(ev))
+
+
+def _crawl_delta_sql() -> str:
+    from webcrawlergo_spark.sources import crawlviews as cv
+
+    return f"""
+WITH pages AS ({cv.PAGES_VIEW_SQL}),
+upper_ AS (SELECT url_id, id, added_at FROM pages
+           WHERE added_at <= TIMESTAMP '{DELTA_T1}'),
+l1 AS (
+  SELECT url_id, id AS latest_id_t1 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY url_id ORDER BY added_at DESC, id DESC) AS rn
+    FROM upper_) t WHERE rn = 1),
+l0 AS (
+  SELECT url_id, id AS latest_id_t0 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY url_id ORDER BY added_at DESC, id DESC) AS rn
+    FROM upper_ WHERE added_at <= TIMESTAMP '{DELTA_T0}') t WHERE rn = 1),
+c AS (
+  SELECT url_id,
+         CAST(SUM(CASE WHEN added_at > TIMESTAMP '{DELTA_T0}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new_fetches
+  FROM upper_ GROUP BY url_id)
+SELECT l1.url_id,
+       CASE WHEN l0.latest_id_t0 IS NULL THEN 'new'
+            WHEN l1.latest_id_t1 <> l0.latest_id_t0 THEN 'updated'
+            ELSE 'unchanged' END AS status,
+       c.n_new_fetches, l1.latest_id_t1
+FROM l1 LEFT JOIN l0 ON l1.url_id = l0.url_id
+JOIN c ON l1.url_id = c.url_id
+ORDER BY l1.url_id
+"""
+
+
 CRAWL_ORACLES = {
     "link_extract_spans": LINK_EXTRACT_SQL,
     "crawl_bfs_depth": CRAWL_BFS_SQL,
+    "anchor_text_agg": ANCHOR_TEXT_SQL,
+    "crawl_delta": _crawl_delta_sql(),
 }

@@ -899,7 +899,74 @@ c0 AS (
 KMEANS_CELLS_SQL = _kmeans_sql()
 
 
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-prune (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication: assign every embedding to its coarse
+    cell (the IVF assignment — broadcast centroids, max_by partial
+    agg), then within each cell prune any vector that has an
+    earlier-id cell-mate with cosine ≥ τ. The survivors are the
+    semantically-deduplicated corpus.
+
+    This is the embedding-space analog of minhash-LSH dedup with the
+    candidate generator swapped: cluster cells instead of hash bands
+    (SemDeDup's observation is that near-duplicates land in the same
+    k-means cluster, so the pairwise pass is bounded per-cell and the
+    all-pairs join never materializes). Keep-lowest-id is the same
+    deterministic canonical-representative rule the exact/minhash
+    dedup family uses.
+
+    Scale shape: one shuffle on the cell key; per-cell pair
+    generation is quadratic in CELL size only — cells are balanced by
+    the k-means objective, and a skewed mega-cell splits under AQE
+    exactly like the LSH band buckets (dedup.py). The prune decision
+    is an anti-join against the pruned-id set."""
+    vecs = _vecs(spark, sf_dir).withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    _, assign = _cells(vecs.select("vec_id", "v"))
+    va = vecs.join(assign, "vec_id")
+    b = va.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.col("cell").alias("cell_b"),
+    )
+    cos = _dot(F.col("v"), F.col("vb")) / (F.col("nv") * F.col("nb"))
+    pruned = (
+        va.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_id") < F.col("vec_b")))
+        .filter(F.round(cos, 6) >= SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        va.join(pruned, "vec_id", "left_anti")
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_CELLS_SQL},
+vb AS (SELECT a.vec_id, a.cell, vecs.v
+       FROM assign a JOIN vecs ON vecs.vec_id = a.vec_id)
+SELECT j.vec_id, j.cell FROM vb j
+WHERE NOT EXISTS (
+  SELECT 1 FROM vb i
+  WHERE i.cell = j.cell AND i.vec_id < j.vec_id
+    AND round(list_dot_product(i.v, j.v)
+              / (sqrt(list_dot_product(i.v, i.v))
+                 * sqrt(list_dot_product(j.v, j.v))), 6) >= {SEMDEDUP_TAU})
+ORDER BY j.vec_id
+"""
+
+
 QUERIES = {
+    "semdedup_keep": semdedup_keep,
     "cosine_topk": cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
@@ -913,6 +980,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semdedup_keep": SEMDEDUP_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_BUCKETS_SQL,
     "ann_lsh_topk": ANN_TOPK_SQL,

@@ -161,5 +161,118 @@ HLL_DISTINCT_SQL = (
 )
 
 
-QUERIES = {"hll_distinct": hll_distinct}
-ORACLES = {"hll_distinct": HLL_DISTINCT_SQL}
+# --------------------------------------------------------------------------
+# Count-min sketch — bounded-memory frequency estimation / heavy hitters
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # buckets per row — deliberately < vocabulary so collisions
+#             are real and min-over-rows provably earns its keep
+CMS_PHI_DEN = 64  # heavy hitter ⇔ cms_est ≥ N DIV 64
+
+# md5-derived row hashes (the HLL/LSH convention): row r, key t →
+# first 8 hex digits of md5('r:t') mod W — identical in Spark conv(),
+# DuckDB CAST('0x'||…), and Python int(…, 16).
+
+
+def _cms_bucket(r, tok):
+    """Bucket of key ``tok`` under row ``r`` (both columns)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(r.cast("string"), F.lit(":"), tok)), 1, 8
+        ),
+        16,
+        10,
+    )
+    return (h.cast("bigint") % CMS_W).cast("bigint")
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """The sketch itself: (r, b, cnt) with ≤ D·W rows TOTAL no matter
+    the stream size. groupBy partial-aggregates map-side, so the
+    shuffle carries ≤ D·W rows per input partition — the
+    bounded-memory counter for a 10^10-token stream (Cormode &
+    Muthukrishnan 2005). Mergeable: union two sketches and
+    groupBy(r, b).sum(cnt) — the incremental/windowed shape."""
+    rows = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"),
+        F.col(col).alias("t"),
+    )
+    return (
+        rows.select("r", _cms_bucket(F.col("r"), F.col("t")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter vocabulary tokens over the document corpus via a
+    count-min sketch: build the D×W sketch, probe each candidate
+    token's D buckets, estimate = min over rows, keep tokens whose
+    estimate ≥ N/64. The exact count ships alongside so the row
+    doubles as the accuracy record (est ≥ exact always; equality
+    unless all D buckets collided) — the hll_distinct convention.
+
+    Scale shape: the sketch is ≤256 rows (broadcast side of the
+    probe join); the candidate frame is the per-token exact groupBy —
+    at 10^10 tokens the candidate set would itself be pre-filtered by
+    a per-partition local top-k, but the probe plan (broadcast sketch
+    + min-over-rows agg) is unchanged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sketch = cms_sketch(toks, "tok")
+    cand = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n_exact"))
+    probes = cand.select(
+        "tok",
+        "n_exact",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"),
+    ).withColumn("b", _cms_bucket(F.col("r"), F.col("tok")))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    total = toks.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("cms_est") >= F.expr(f"n_total DIV {CMS_PHI_DEN}"))
+        .select("tok", "n_exact", "cms_est")
+        .orderBy("tok")
+    )
+
+
+_CMS_B_SQL = (
+    "CAST('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || {t}), 1, 8) AS BIGINT) % 64"
+)
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+rws AS (SELECT unnest(range(0, {CMS_D})) AS r),
+sk AS (
+  SELECT r, {_CMS_B_SQL.format(r="r", t="tok")} AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN rws GROUP BY 1, 2),
+cand AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok),
+probe AS (
+  SELECT c.tok, c.n_exact, MIN(sk.cnt) AS cms_est
+  FROM cand c CROSS JOIN rws
+  JOIN sk ON sk.r = rws.r
+         AND sk.b = {_CMS_B_SQL.format(r="rws.r", t="c.tok")}
+  GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+SELECT tok, n_exact, CAST(cms_est AS BIGINT) AS cms_est
+FROM probe, tot WHERE cms_est >= n_total // {CMS_PHI_DEN}
+ORDER BY tok
+"""
+
+
+QUERIES = {"hll_distinct": hll_distinct, "cms_heavy_hitters": cms_heavy_hitters}
+ORACLES = {
+    "hll_distinct": HLL_DISTINCT_SQL,
+    "cms_heavy_hitters": CMS_HEAVY_HITTERS_SQL,
+}

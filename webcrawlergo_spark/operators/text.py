@@ -418,7 +418,74 @@ ORDER BY d.doc_id
 REPETITION_SQL = _repetition_sql()
 
 
+# --------------------------------------------------------------------------
+# Training-window chunking — the doc → fixed-length-example splitter
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 32  # tokens per training window
+CHUNK_STRIDE = 24  # overlap = SIZE - STRIDE = 8 tokens
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of each document into fixed-size token
+    windows with overlap — the example-construction step between
+    ``pack_documents`` (which concatenates) and the trainer (which
+    wants bounded sequences with context carry-over).
+
+    Window starts are 0, STRIDE, 2·STRIDE, … < n_tokens, so every
+    token is covered and consecutive chunks share SIZE−STRIDE tokens.
+    Entirely ``sequence`` + ``posexplode`` + ``slice`` — one codegen'd
+    narrow map over the corpus, output rows ≈ n_tokens/STRIDE.
+    Nothing shuffles: chunking is embarrassingly parallel and the
+    chunk key (doc_id, chunk_id) is computed, not assigned — a re-run
+    or a backfill emits identical example ids (the reproducible-
+    sample rule, sampling.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("s"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    c = t.select(
+        "doc_id",
+        "s",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_id", "tok_start"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("tok_start").cast("int").alias("tok_start"),
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("tok_start"))
+        .cast("int")
+        .alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("s"), F.col("tok_start") + 1, F.lit(CHUNK_SIZE)), " "
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+c AS (
+  SELECT doc_id, s, len(s) AS n,
+         unnest(range(0, len(s), {CHUNK_STRIDE})) AS tok_start
+  FROM t)
+SELECT doc_id,
+       CAST(tok_start // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(tok_start AS INTEGER) AS tok_start,
+       CAST(least({CHUNK_SIZE}, n - tok_start) AS INTEGER) AS n_tok,
+       array_to_string(
+           list_slice(s, tok_start + 1, least(tok_start + {CHUNK_SIZE}, n)),
+           ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
+    "chunk_documents": chunk_documents,
     "token_length_buckets": token_length_buckets,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -430,6 +497,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "token_length_buckets": TOKEN_BUCKETS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SCORE_SQL,
