@@ -360,11 +360,24 @@ RETIRED_FROM_DRIVER = (
     # crawl_delta.
     "cosine_topk",
     "minhash_signatures",
+    # r5 session 5c: embedding_neardup_pairs (same-LSH-bucket pairs +
+    # thresholded rounded cosine) is the composition of driver-live
+    # machinery — the md5-derived bucket equi-join of ann_lsh_topk and
+    # the thresholded within-group cosine prune of semdedup_keep;
+    # ivf_topk's probe-limited search decomposes the same way (its
+    # _cells assignment stage is live inside semdedup_keep, its
+    # shortlist-then-exact-rerank pattern inside pq_adc_topk) and its
+    # recall stays CI-floored in tests/test_ann_quality.py. Slots
+    # freed for pmi_phrases + stream_dedup_distinct.
+    "embedding_neardup_pairs",
+    "ivf_topk",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "pmi_phrases",
+    "stream_dedup_distinct",
     "link_pagerank",
     "anchor_text_agg",
     "crawl_delta",
@@ -443,6 +456,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_weights": smp.QUERIES["domain_mix_weights"],
         "cosine_topk": sim.QUERIES["cosine_topk"],
         "minhash_signatures": dd.QUERIES["minhash_signatures"],
+        "embedding_neardup_pairs": sim.QUERIES["embedding_neardup_pairs"],
+        "ivf_topk": sim.QUERIES["ivf_topk"],
     }
 
 
@@ -493,6 +508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from webcrawlergo_spark.streaming.stateful import sessionize_stream
 
     q["sessionize_stateful_stream"] = sessionize_stream
+    # streaming first-encounter dedup (the crawl seen-set contract as
+    # a Structured Streaming state-store operator; batch twin =
+    # SELECT DISTINCT)
+    from webcrawlergo_spark.streaming.dedup_stream import stream_dedup_distinct
+
+    q["stream_dedup_distinct"] = stream_dedup_distinct
     q["multimodal_meta"] = multimodal_meta
     q["frame_sample_plan"] = frame_sample_plan
     # real audio decode end-to-end: JVM-built WAV container, numpy
@@ -658,6 +679,9 @@ def oracle_sql() -> dict[str, str]:
     o.update(CRAWL_ORACLES)
     o["events_tumbling_agg"] = TUMBLING_SQL
     o["sessionize_stateful_stream"] = olap.SESSIONIZE_SQL
+    from webcrawlergo_spark.streaming.dedup_stream import STREAM_DEDUP_SQL
+
+    o["stream_dedup_distinct"] = STREAM_DEDUP_SQL
     o["multimodal_meta"] = MULTIMODAL_META_SQL
     o["frame_sample_plan"] = FRAME_SAMPLE_SQL
     o["wav_decode_stats"] = WAV_DECODE_STATS_SQL

@@ -58,6 +58,7 @@ HEADLINE = [
     "doc_fingerprint",
     "repetition_score",
     "contamination_check",
+    "pmi_phrases",
     "duplicate_runs",
     "bm25_topk",
     "purchases_asof_clicks",

@@ -256,6 +256,78 @@ def test_crawl_delta_edge_semantics(spark):
     }
 
 
+def test_crawl_delta_single_exchange(spark):
+    """The snapshot diff is one window pass: exactly ONE hash
+    exchange (url_id) and zero joins in the executed plan."""
+    from webcrawlergo_spark.operators.crawl_queries import crawl_delta
+
+    plan = (
+        crawl_delta(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, plan
+
+
+def test_pmi_phrases_matches_python_golden(spark):
+    """Top-k PMI collocations vs an exact Python replication of the
+    shared formula (same op order, same floor-round)."""
+    from webcrawlergo_spark.operators.text import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        pmi_phrases,
+    )
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist()
+    uni, bg = {}, {}
+    nu = nb = 0
+    for text in texts:
+        toks = [t for t in text.split(" ") if t]
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+            nu += 1
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            nb += 1
+    scored = []
+    for (x, y), c_xy in bg.items():
+        if c_xy < PMI_MIN_COUNT:
+            continue
+        pmi = math.log(((float(c_xy) * nu) / (uni[x] * uni[y])) * (float(nu) / nb))
+        pmi6 = math.floor(pmi * 1e6 + 0.5) / 1e6
+        scored.append((f"{x} {y}", c_xy, pmi6))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    want = scored[:PMI_TOP_K]
+    got = [(r.bg, r.c_xy, r.pmi_6) for r in pmi_phrases(spark, SF_DIR).collect()]
+    assert got == want
+    # PMI is a log-ratio: independent pairs sit near 0, collocations
+    # above — the top-k must all beat independence
+    assert all(p > 0 for _, _, p in got)
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    """The streaming first-encounter dedup's drained emission set ==
+    batch DISTINCT, and re-running against the same source emits the
+    same set (state-store determinism of the key set)."""
+    from webcrawlergo_spark.streaming.dedup_stream import stream_dedup_distinct
+
+    got = [(r.user_id, r.event_type) for r in stream_dedup_distinct(spark, SF_DIR).collect()]
+    want = [
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) == len(set(got))  # each key emitted exactly once
+    again = [(r.user_id, r.event_type) for r in stream_dedup_distinct(spark, SF_DIR).collect()]
+    assert again == want
+
+
 def test_semdedup_prune_rule_is_sound(spark):
     """kept ⊎ pruned = corpus, and the prune decision matches the
     numpy cosine rule with an ulp guard around τ (the exact rounded

@@ -263,44 +263,41 @@ def crawl_delta_frames(pages: DataFrame, t0: str = DELTA_T0, t1: str = DELTA_T1)
     (reference init.go:39-75 classifies single URLs against an expiry
     cutoff at resume; this is the set-level operator).
 
-    Plan shape: the t1-filtered log shuffles ONCE on url_id; both
-    snapshot windows and the fetch-count aggregate run over that same
-    partitioning (Catalyst reuses the exchange — the W1 lesson,
-    window.py), then a codegen CASE labels each URL. The t0 snapshot
-    is the t1 pass re-windowed with a <= t0 predicate, never a second
-    scan of the log."""
+    Plan shape: EXACTLY one hash exchange + one sort on url_id
+    (plan-asserted, tests/test_graph_cms_chunk.py) — all three signals
+    come out of the same sorted window pass over the t1-filtered log:
+    the t1-latest row is rn=1, the t0-snapshot id is
+    first(ignorenulls) of the ≤t0 rows in the same descending order,
+    and the in-window fetch count is a full-frame conditional sum.
+    Zero joins; never a second scan of the log."""
     t0lit = F.lit(t0).cast("timestamp")
     upper = pages.filter(F.col("added_at") <= F.lit(t1).cast("timestamp")).select(
         "url_id", "id", "added_at"
     )
     w = Window.partitionBy("url_id").orderBy(F.col("added_at").desc(), F.col("id").desc())
-    latest1 = (
-        upper.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("url_id", F.col("id").alias("latest_id_t1"))
-    )
-    latest0 = (
-        upper.filter(F.col("added_at") <= t0lit)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("url_id", F.col("id").alias("latest_id_t0"))
-    )
-    counts = upper.groupBy("url_id").agg(
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labeled = upper.select(
+        "url_id",
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.first(
+            F.when(F.col("added_at") <= t0lit, F.col("id")), ignorenulls=True
+        ).over(wfull).alias("latest_id_t0"),
         F.sum(F.when(F.col("added_at") > t0lit, F.lit(1)).otherwise(F.lit(0)))
+        .over(wfull)
         .cast("bigint")
-        .alias("n_new_fetches")
+        .alias("n_new_fetches"),
     )
     return (
-        latest1.join(latest0, "url_id", "left")
-        .join(counts, "url_id")
+        labeled.filter(F.col("rn") == 1)
         .select(
             "url_id",
             F.when(F.col("latest_id_t0").isNull(), F.lit("new"))
-            .when(F.col("latest_id_t1") != F.col("latest_id_t0"), F.lit("updated"))
+            .when(F.col("id") != F.col("latest_id_t0"), F.lit("updated"))
             .otherwise(F.lit("unchanged"))
             .alias("status"),
             "n_new_fetches",
-            "latest_id_t1",
+            F.col("id").alias("latest_id_t1"),
         )
         .orderBy("url_id")
     )

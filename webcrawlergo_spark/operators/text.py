@@ -484,8 +484,104 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+# --------------------------------------------------------------------------
+# PMI phrase detection — the word2phrase pass of tokenizer prep
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 10  # bigrams below this support are noise, not phrases
+PMI_TOP_K = 25
+
+# The EXACT double expression, shared verbatim by Spark and DuckDB so
+# every intermediate IEEE op matches: one ln() call on a ratio of
+# exactly-representable integers (all products < 2^53), then the
+# portable floor-round to 6dp. A last-ulp libm ln() divergence cannot
+# reorder the top-k cut (the bm25 lesson) and ties break on the
+# bigram text.
+_PMI_EXPR = (
+    "floor(ln(((CAST(c_xy AS DOUBLE) * nu) / (cx * cy))"
+    " * (CAST(nu AS DOUBLE) / nb)) * 1e6 + 0.5) / 1e6"
+)
+
+
+def pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over word
+    bigrams — the phrase-detection pass (word2phrase / Mikolov 2013)
+    a tokenizer pipeline runs before merging multi-word units:
+    PMI = ln(p(x,y) / (p(x)p(y))) with bigram probability from the
+    bigram total and unigram probabilities from the token total,
+    support-filtered at PMI_MIN_COUNT.
+
+    Plan shape: ONE codegen lookahead-regex pass yields the bigram
+    stream (the repetition_score machinery, dedup.py::gram_pattern);
+    two map-side-combining groupBys (unigram + bigram counts); the
+    bigram table joins the unigram counts twice on the word key (at
+    10^10 tokens these are key-only shuffles of the VOCABULARY, not
+    the corpus); the two scalar totals broadcast; the cut is
+    TakeOrderedAndProject over the portably-rounded score."""
+    from .dedup import gram_pattern
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bigrams = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(gram_pattern(2)), F.lit(1))
+        ).alias("bg")
+    )
+    unigrams = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    uni = unigrams.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    bg = (
+        bigrams.groupBy("bg")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .withColumn("x", F.split("bg", " ")[0])
+        .withColumn("y", F.split("bg", " ")[1])
+    )
+    nu = unigrams.agg(F.count("*").cast("bigint").alias("nu"))
+    nb = bigrams.agg(F.count("*").cast("bigint").alias("nb"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        bg.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("bg", "c_xy", F.expr(_PMI_EXPR).alias("pmi_6"))
+    )
+    return scored.orderBy(
+        F.col("pmi_6").desc(), F.col("bg").asc()
+    ).limit(PMI_TOP_K)
+
+
+PMI_PHRASES_SQL = f"""
+WITH uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+bgs AS (
+  SELECT s[i] || ' ' || s[i+1] AS bg
+  FROM (SELECT string_split(text, ' ') AS s,
+               unnest(range(1, len(string_split(text, ' ')))) AS i
+        FROM documents)),
+bg AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_xy,
+         string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y
+  FROM bgs GROUP BY bg HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bgs),
+j AS (
+  SELECT bg.bg, bg.c_xy, ux.c AS cx, uy.c AS cy, nu.nu, nb.nb
+  FROM bg JOIN uni ux ON bg.x = ux.tok JOIN uni uy ON bg.y = uy.tok
+  CROSS JOIN nu CROSS JOIN nb),
+scored AS (SELECT bg, c_xy, {_PMI_EXPR} AS pmi_6 FROM j)
+SELECT bg, c_xy, pmi_6 FROM scored
+ORDER BY pmi_6 DESC, bg ASC LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
+    "pmi_phrases": pmi_phrases,
     "token_length_buckets": token_length_buckets,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -498,6 +594,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "pmi_phrases": PMI_PHRASES_SQL,
     "token_length_buckets": TOKEN_BUCKETS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SCORE_SQL,
