@@ -48,6 +48,7 @@ from webcrawlergo_spark.operators.crawl_queries import (
     crawl_bfs_depth,
     crawl_delta,
     link_extract_spans,
+    recrawl_priority,
 )
 from webcrawlergo_spark.sources import crawlviews as cv
 from webcrawlergo_spark.sources.tpch import load_table
@@ -371,11 +372,43 @@ RETIRED_FROM_DRIVER = (
     # freed for pmi_phrases + stream_dedup_distinct.
     "embedding_neardup_pairs",
     "ivf_topk",
+    # r5 session 6: pages_by_url's P1/P2 machinery (point equi-
+    # predicate + projection-pruned scan + url join) is live inside
+    # latest_pages (same join, wider predicate surface) and list_urls
+    # (dynamic predicates + LIKE); token_count's whitespace/word-regex
+    # totals are live sub-expressions of pmi_phrases (nu),
+    # pack_documents (budget packing over token counts) and
+    # chunk_documents (window arithmetic over the token sequence).
+    # Slots freed for tfidf_topterms + dsir_logratio.
+    "pages_by_url",
+    "token_count",
+    # r5 session 6b: simhash's bitwise groupBy-sum signature is the
+    # same machinery class as the retired minhash_signatures (one
+    # shingle pass, map-side-combined per-bit sums, no join); near-dup
+    # coverage stays driver-live four ways (minhash_lsh_pairs,
+    # neardup_clusters, duplicate_runs, semdedup_keep). Slot freed for
+    # recrawl_priority.
+    "simhash",
+    # r5 session 7: doc_fingerprint's rolling-hash-over-text machinery
+    # is live inside duplicate_runs (rolling window hashes drive the
+    # diagonal join) and dedup_exact (digest groupBy);
+    # cutoff_widening's F10 widen-to-midnight timestamp arithmetic is
+    # live inside crawl_delta (two-cutoff snapshot windows),
+    # range_join_error_windows (integer-µs bucket math) and
+    # recrawl_priority (epoch-µs spans). Slots freed for hits_scores +
+    # phrase_search.
+    "doc_fingerprint",
+    "cutoff_widening",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "hits_scores",
+    "phrase_search",
+    "recrawl_priority",
+    "tfidf_topterms",
+    "dsir_logratio",
     "pmi_phrases",
     "stream_dedup_distinct",
     "link_pagerank",
@@ -458,6 +491,11 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dd.QUERIES["minhash_signatures"],
         "embedding_neardup_pairs": sim.QUERIES["embedding_neardup_pairs"],
         "ivf_topk": sim.QUERIES["ivf_topk"],
+        "pages_by_url": q_pages_by_url,
+        "token_count": tx.QUERIES["token_count"],
+        "simhash": dd.QUERIES["simhash"],
+        "doc_fingerprint": tx.QUERIES["doc_fingerprint"],
+        "cutoff_widening": q_cutoff_widening,
     }
 
 
@@ -498,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["crawl_bfs_depth"] = crawl_bfs_depth
     q["anchor_text_agg"] = anchor_text_agg
     q["crawl_delta"] = crawl_delta
+    q["recrawl_priority"] = recrawl_priority
     q["events_tumbling_agg"] = lambda spark, sf_dir: tumbling_event_counts(
         load_table(spark, sf_dir, "events")
     )

@@ -59,6 +59,8 @@ HEADLINE = [
     "repetition_score",
     "contamination_check",
     "pmi_phrases",
+    "tfidf_topterms",
+    "dsir_logratio",
     "duplicate_runs",
     "bm25_topk",
     "purchases_asof_clicks",
@@ -71,7 +73,10 @@ HEADLINE = [
     "video_decode_stats",
     "neardup_clusters",
     "crawl_bfs_depth",
+    "recrawl_priority",
     "link_pagerank",
+    "hits_scores",
+    "phrase_search",
     "semdedup_keep",
     "cms_heavy_hitters",
     "chunk_documents",

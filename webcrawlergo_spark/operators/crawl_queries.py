@@ -344,9 +344,107 @@ ORDER BY l1.url_id
 """
 
 
+# --------------------------------------------------------------------------
+# Re-crawl priority — per-URL change-rate estimation from fetch history
+# --------------------------------------------------------------------------
+
+# Bias-reduced Poisson change-rate estimator (Cho & Garcia-Molina
+# 2003, "Estimating frequency of change"): with n re-fetch intervals
+# of which x showed a changed content fingerprint,
+#   r_hat      = -ln((n - x + 0.5) / (n + 0.5))   [changes per fetch]
+#   lambda_day = r_hat * n / span_days            [changes per day]
+# Shared verbatim by both engines: the ratio is halves-plus-integers
+# (exact in binary), one libm ln, two multiplies and one divide in a
+# fixed order, then the portable floor-round to 6dp. 5e-1/86400e6
+# keep the literals DOUBLE in Spark SQL (the hll_distinct decimal
+# trap).
+_RECRAWL_EXPR = (
+    "floor(-ln((n - x + 5e-1) / (n + 5e-1))"
+    " * ((CAST(n AS DOUBLE) * 86400e6) / t_us) * 1e6 + 0.5) / 1e6"
+)
+
+
+def recrawl_priority_frames(pages: DataFrame) -> DataFrame:
+    """Per-URL change-rate estimate from the append-only fetch log —
+    the signal a monitored re-crawl scheduler (reference T7 re-crawl
+    expiry, init.go resume classification) uses to order the frontier:
+    fast-changing URLs re-fetch first, static ones decay to the back.
+
+    A "change" is a content-fingerprint flip between consecutive
+    fetches of the same URL (here the doc_id bucket the synthetic
+    pages view carries; in production the page content hash — S8's
+    page rows land with one, doc_fingerprint).
+
+    Plan shape: the log shuffles ONCE on url_id; the lag window and
+    the per-URL aggregate both run over that partitioning (the
+    crawl_delta lesson — Catalyst reuses the exchange, plan-asserted);
+    the estimator itself is codegen scalar math on the n/x/t_us
+    aggregate, one row per URL. At 10^10 pages this is one
+    map-side-combinable exchange of the log's (url_id, us, fp)
+    projection and nothing else."""
+    us = F.expr("unix_micros(CAST(added_at AS TIMESTAMP_LTZ))")
+    fp = F.expr("CAST(substring(doc_id, 4) AS BIGINT) % 8")
+    f = pages.select("url_id", "id", us.alias("us"), fp.alias("fp"))
+    w = Window.partitionBy("url_id").orderBy("us", "id")
+    l = f.select(
+        "url_id",
+        "us",
+        "fp",
+        F.lag("fp").over(w).alias("prev"),
+    )
+    g = l.groupBy("url_id").agg(
+        (F.count("*") - 1).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("fp") != F.col("prev")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("x"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("t_us"),
+    )
+    return (
+        g.filter((F.col("n") >= 1) & (F.col("t_us") > 0))
+        .select("url_id", "n", "x", F.expr(_RECRAWL_EXPR).alias("lambda_day_6"))
+        .orderBy("url_id")
+    )
+
+
+def recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawlergo_spark.sources import crawlviews as cv
+    from webcrawlergo_spark.sources.tpch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return recrawl_priority_frames(cv.pages_view(ev))
+
+
+def _recrawl_priority_sql() -> str:
+    from webcrawlergo_spark.sources import crawlviews as cv
+
+    return f"""
+WITH pages AS ({cv.PAGES_VIEW_SQL}),
+f AS (SELECT url_id, id, epoch_us(added_at) AS us,
+             CAST(SUBSTR(doc_id, 4) AS BIGINT) % 8 AS fp
+      FROM pages),
+l AS (SELECT url_id, us, fp,
+             LAG(fp) OVER (PARTITION BY url_id ORDER BY us, id) AS prev
+      FROM f),
+g AS (SELECT url_id,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND fp <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(MAX(us) - MIN(us) AS BIGINT) AS t_us
+      FROM l GROUP BY url_id)
+SELECT url_id, n, x, {_RECRAWL_EXPR} AS lambda_day_6
+FROM g WHERE n >= 1 AND t_us > 0 ORDER BY url_id
+"""
+
+
 CRAWL_ORACLES = {
     "link_extract_spans": LINK_EXTRACT_SQL,
     "crawl_bfs_depth": CRAWL_BFS_SQL,
     "anchor_text_agg": ANCHOR_TEXT_SQL,
     "crawl_delta": _crawl_delta_sql(),
+    "recrawl_priority": _recrawl_priority_sql(),
 }

@@ -133,5 +133,156 @@ def _pagerank_sql(n_iter: int = PR_ITER) -> str:
 
 LINK_PAGERANK_SQL = _pagerank_sql()
 
-QUERIES = {"link_pagerank": link_pagerank}
-ORACLES = {"link_pagerank": LINK_PAGERANK_SQL}
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities — the complementary link-analysis signal
+# --------------------------------------------------------------------------
+
+HITS_SCALE = 10**9
+HITS_ITER = 5
+
+
+def hits_frame(nodes: DataFrame, edges: DataFrame, n_nodes: int,
+               n_iter: int = HITS_ITER) -> DataFrame:
+    """Fixed-iteration integer-lattice HITS (Kleinberg 1999): a good
+    hub links to good authorities (h ← Σ a over out-edges), a good
+    authority is linked from good hubs (a ← Σ h over in-edges).
+    Complements PageRank for crawl scheduling: authority ranks WHERE
+    to spend fetch budget, hub ranks which pages to re-parse for
+    frontier discovery.
+
+    Same determinism discipline as ``pagerank_frame``: scores are
+    BIGINTs in 10^-9 units; the classical per-iteration L2
+    normalization (a float sqrt) is replaced by exact L1 rescaling
+    onto the lattice, ``(raw * SCALE) DIV Σraw`` — same fixed point
+    up to the norm choice, and every op is order-independent integer
+    arithmetic, so Spark/DuckDB/Python agree bit-for-bit.
+
+    Overflow audit (why SCALE is 10^9 here, not PageRank's 10^12):
+    after rescaling Σh = Σa ≤ SCALE, so every raw score ≤ SCALE and
+    the rescale numerator raw·SCALE ≤ 10^18 < 2^63; the L1 totals are
+    ≤ SCALE·max_degree. At 10^12 the numerator would overflow.
+
+    Scale shape: per iteration, two rank-key joins against the
+    checkpointed edge set + two map-side-combining groupBys + two
+    1-row L1 totals (crossJoin-broadcast) — no driver state, lineage
+    truncated per iteration exactly like the wave loop."""
+    edges = edges.localCheckpoint(eager=True)
+    zero = F.lit(0).cast("bigint")
+    h = nodes.select(
+        "node", F.lit(HITS_SCALE // n_nodes).cast("bigint").alias("h")
+    ).localCheckpoint(eager=True)
+    a = None
+    for _ in range(n_iter):
+        ar = (
+            h.join(edges, h.node == edges.src)
+            .groupBy("dst")
+            .agg(F.sum("h").cast("bigint").alias("c"))
+        )
+        ar = nodes.join(ar, nodes.node == ar.dst, "left").select(
+            "node", F.coalesce("c", zero).alias("ar")
+        )
+        atot = ar.agg(F.sum("ar").cast("bigint").alias("atot"))
+        a = (
+            ar.crossJoin(F.broadcast(atot))
+            .select(
+                "node",
+                F.expr(
+                    f"(ar * CAST({HITS_SCALE} AS BIGINT)) DIV atot"
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hr = (
+            a.join(edges, a.node == edges.dst)
+            .groupBy("src")
+            .agg(F.sum("a").cast("bigint").alias("c"))
+        )
+        hr = nodes.join(hr, nodes.node == hr.src, "left").select(
+            "node", F.coalesce("c", zero).alias("hr")
+        )
+        htot = hr.agg(F.sum("hr").cast("bigint").alias("htot"))
+        h = (
+            hr.crossJoin(F.broadcast(htot))
+            .select(
+                "node",
+                F.expr(
+                    f"(hr * CAST({HITS_SCALE} AS BIGINT)) DIV htot"
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub_9"), F.col("a").alias("auth_9")
+    )
+
+
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the deterministic doc link graph; hub/authority in
+    exact 10^-9 units (BIGINT) so the oracle gate is bit-equality."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return hits_frame(nodes, edges_df(docs), n).orderBy("node")
+
+
+def _hits_sql(n_iter: int = HITS_ITER) -> str:
+    """The identical HITS lattice unrolled as chained CTEs."""
+    edges_union = " UNION ".join(
+        f"SELECT CAST(doc_id AS BIGINT) AS src,"
+        f" CAST((doc_id * {a} + {b}) % (SELECT n_docs FROM n) AS BIGINT) AS dst"
+        f" FROM documents"
+        for a, b in _EDGE_MULS
+    )
+    # MATERIALIZED is load-bearing: each a{i}r/h{i}r is referenced
+    # twice (rescale + its L1 total) and each level references the
+    # previous one, so DuckDB's default CTE inlining re-expands the
+    # tree 2^(2·n_iter) times — measured as "Too many open files" on
+    # the documents parquet before the first row.
+    ctes = [
+        "n AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM documents)",
+        f"edges AS MATERIALIZED ({edges_union})",
+        "nodes AS MATERIALIZED"
+        " (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
+        f"h0 AS (SELECT node, CAST({HITS_SCALE} // (SELECT n_docs FROM n)"
+        f" AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+  SELECT nd.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS ar
+  FROM nodes nd LEFT JOIN (
+      SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS c
+      FROM h{i - 1} p JOIN edges e ON e.src = p.node GROUP BY e.dst) s
+    ON nd.node = s.node)"""
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node, CAST((ar * {HITS_SCALE}) //"
+            f" (SELECT CAST(SUM(ar) AS BIGINT) FROM a{i}r) AS BIGINT) AS a"
+            f" FROM a{i}r)"
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+  SELECT nd.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS hr
+  FROM nodes nd LEFT JOIN (
+      SELECT e.src AS node, CAST(SUM(p.a) AS BIGINT) AS c
+      FROM a{i} p JOIN edges e ON e.dst = p.node GROUP BY e.src) s
+    ON nd.node = s.node)"""
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT node, CAST((hr * {HITS_SCALE}) //"
+            f" (SELECT CAST(SUM(hr) AS BIGINT) FROM h{i}r) AS BIGINT) AS h"
+            f" FROM h{i}r)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT h.node, h.h AS hub_9, a.a AS auth_9
+FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node ORDER BY h.node"""
+    )
+
+
+HITS_SCORES_SQL = _hits_sql()
+
+QUERIES = {"link_pagerank": link_pagerank, "hits_scores": hits_scores}
+ORACLES = {"link_pagerank": LINK_PAGERANK_SQL, "hits_scores": HITS_SCORES_SQL}

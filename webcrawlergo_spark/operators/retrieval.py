@@ -125,5 +125,86 @@ ORDER BY bm25_6 DESC, doc_id ASC LIMIT {top_k}
 BM25_TOPK_SQL = _bm25_sql()
 
 
-QUERIES = {"bm25_topk": bm25_topk}
-ORACLES = {"bm25_topk": BM25_TOPK_SQL}
+# --------------------------------------------------------------------------
+# Exact phrase search — positional-postings intersection
+# --------------------------------------------------------------------------
+
+PHRASE = ("hash", "join")
+
+
+def phrase_search_df(
+    docs: DataFrame, phrase: tuple[str, ...] = PHRASE
+) -> DataFrame:
+    """Exact multi-word phrase match via positional postings — the
+    retrieval primitive bm25's bag-of-words scoring cannot express
+    (reference P3's LIKE '%...%' is the single-column analog; this is
+    the tokenized, position-exact form an inverted index serves).
+
+    The relational trick: a phrase (w0..wk-1) occurs at position p
+    iff token (p+i) == wi for every i. Each posting matching ANY
+    phrase word maps to the anchor it would support (anchor = pos −
+    i), and an anchor with all k distinct i's present is a hit — one
+    join against a k-row broadcast pattern + one groupBy, no
+    self-joins, no per-k join chain.
+
+    Scale shape: the pattern join is the inverted-index lookup —
+    only postings for the phrase's k terms survive the broadcast
+    semi-ish join, so the (doc, anchor) shuffle carries |postings(w0)|
+    + … + |postings(wk-1)| rows, never the corpus token stream; both
+    groupBys map-side combine. Repeated words in the phrase are
+    handled (a token at one position can support several i's;
+    count(DISTINCT i) gates the intersection)."""
+    spark = docs.sparkSession
+    k = len(phrase)
+    pat = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(phrase)], "i long, tok string"
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    m = toks.join(F.broadcast(pat), "tok").select(
+        "doc_id", (F.col("pos").cast("long") - F.col("i")).alias("anchor"), "i"
+    )
+    hits = (
+        m.filter(F.col("anchor") >= 0)
+        .groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("i").alias("nterms"))
+        .filter(F.col("nterms") == k)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.min("anchor").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_search_df(docs)
+
+
+def _phrase_sql(phrase: tuple[str, ...] = PHRASE) -> str:
+    pat_rows = ", ".join(f"({i}, '{w}')" for i, w in enumerate(phrase))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(range(0, len(s))) AS pos, unnest(s) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+pat AS (SELECT * FROM (VALUES {pat_rows}) AS t(i, tok)),
+m AS (SELECT doc_id, pos - i AS anchor, i FROM toks JOIN pat USING (tok)),
+hits AS (
+  SELECT doc_id, anchor FROM m WHERE anchor >= 0
+  GROUP BY doc_id, anchor HAVING COUNT(DISTINCT i) = {len(phrase)})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(anchor) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+PHRASE_SEARCH_SQL = _phrase_sql()
+
+
+QUERIES = {"bm25_topk": bm25_topk, "phrase_search": phrase_search}
+ORACLES = {"bm25_topk": BM25_TOPK_SQL, "phrase_search": PHRASE_SEARCH_SQL}

@@ -579,9 +579,194 @@ ORDER BY pmi_6 DESC, bg ASC LIMIT {PMI_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF top-terms — the per-document salient-term representation
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+# Shared verbatim by Spark and DuckDB: smooth idf = ln((N+1)/(df+1))
+# (>= 0 since df <= N), one libm ln on a ratio of exactly-representable
+# integers, one double multiply by the integer tf, then the portable
+# floor-round to 6dp. Ranking happens on the ROUNDED score in both
+# engines (the bm25 lesson) with the term text as tiebreak, so a
+# last-ulp ln() divergence cannot reorder the top-k cut. 1e0 keeps the
+# literal a DOUBLE in both engines (bare 1.0 parses as DECIMAL in
+# Spark SQL — the hll_distinct lesson).
+_TFIDF_EXPR = (
+    "floor(CAST(tf AS DOUBLE) * ln((n_docs + 1e0) / (df + 1e0))"
+    " * 1e6 + 0.5) / 1e6"
+)
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per document by TF-IDF — the salient-term
+    representation a pipeline materializes for keyword indexing and
+    cluster labeling. Complements bm25_topk, which scores DOCUMENTS
+    against a fixed query; this ranks TERMS within each document.
+
+    Plan shape: one corpus-token shuffle builds the (doc, term, tf)
+    table with map-side combine; df comes from a second, vocabulary×
+    docs-sized groupBy over that table (never a re-scan of the text);
+    the df table is vocabulary-sized and joins back on the term key
+    (broadcastable at real scale); the scalar doc count broadcasts;
+    the per-doc top-k is a row_number window over the doc_id
+    partitioning the tf table already has."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", F.expr(_TFIDF_EXPR).alias("tfidf_6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "rnk", "term", "tfidf_6")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TFIDF_TOPTERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+t AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT t.doc_id, t.term, {_TFIDF_EXPR} AS tfidf_6
+  FROM t JOIN d ON t.term = d.term CROSS JOIN n),
+r AS (
+  SELECT doc_id, term, tfidf_6,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf_6 DESC, term ASC) AS BIGINT) AS rnk
+  FROM s)
+SELECT doc_id, rnk, term, tfidf_6 FROM r WHERE rnk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rnk
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights — data selection by unigram LM log-ratio
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+# Per-VOCAB-ENTRY log-likelihood-ratio, rounded onto an integer
+# micro-lattice BEFORE the per-document sum: ln of a ratio of
+# exactly-representable integers (add-1 smoothed counts x totals, all
+# products far below 2^53 at oracle scale), floor-rounded to a BIGINT
+# of micro-nats. The per-document score is then a SUM OF BIGINTS —
+# exact and aggregation-order-independent across any partitioning
+# (the link_pagerank integer-lattice trick; a double sum here would
+# diverge between Spark's partial aggregates and DuckDB's single
+# stream).
+_DSIR_W_EXPR = (
+    "CAST(floor(ln(((ct + 1e0) * (nc + v)) / ((cc + 1e0) * (nt + v)))"
+    " * 1e6 + 0.5) AS BIGINT)"
+)
+
+
+def dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document: the add-1-smoothed
+    unigram LM log-likelihood ratio between a target domain (lang =
+    'en' documents) and the whole corpus, summed over the document's
+    tokens (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"). Documents that look like the target get
+    positive scores; resample_to_mix-style selection keeps the top of
+    this ranking.
+
+    Plan shape: the corpus token stream aggregates ONCE into the
+    vocabulary table (map-side combine); target counts are the same
+    agg over the lang-filtered stream, left-joined so out-of-target
+    vocab smooths to ct=0; the three scalars (V, N_c, N_t) come from
+    one pass over the vocabulary and broadcast; the per-token BIGINT
+    weights table is vocabulary-sized and BROADCASTS to the token
+    stream (at 100 TB the stream is never shuffled — the only wide
+    exchange is the map-side-combined per-doc sum, one row per doc).
+    The DSIR paper's hashed-n-gram variant (fixed 10^4 buckets) drops
+    in by replacing the term key with ``pmod(xxhash64(term), 10000)``
+    when the raw vocabulary outgrows the broadcast budget."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cc = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("cc"))
+    ct = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    vocab = cc.join(ct, "term", "left").select(
+        "term", "cc", F.coalesce("ct", F.lit(0).cast("bigint")).alias("ct")
+    )
+    scalars = vocab.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("cc").cast("bigint").alias("nc"),
+        F.sum("ct").cast("bigint").alias("nt"),
+    )
+    weights = vocab.crossJoin(F.broadcast(scalars)).select(
+        "term", F.expr(_DSIR_W_EXPR).alias("w_micro")
+    )
+    return (
+        toks.join(F.broadcast(weights), "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            (F.sum("w_micro").cast("double") / F.lit(1e6)).alias("llr_6"),
+        )
+        .select("doc_id", "lang", "n_toks", "llr_6")
+        .orderBy("doc_id")
+    )
+
+
+DSIR_LOGRATIO_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tk AS (SELECT * FROM toks WHERE term <> ''),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cc FROM tk GROUP BY term),
+t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct FROM tk
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY term),
+vocab AS (
+  SELECT c.term, c.cc, COALESCE(t.ct, 0) AS ct
+  FROM c LEFT JOIN t ON c.term = t.term),
+sc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(cc) AS BIGINT) AS nc,
+         CAST(SUM(ct) AS BIGINT) AS nt
+  FROM vocab),
+w AS (
+  SELECT term, {_DSIR_W_EXPR} AS w_micro
+  FROM vocab CROSS JOIN sc)
+SELECT tk.doc_id, tk.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(w_micro) AS BIGINT) / 1e6 AS llr_6
+FROM tk JOIN w ON tk.term = w.term
+GROUP BY tk.doc_id, tk.lang
+ORDER BY tk.doc_id
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "pmi_phrases": pmi_phrases,
+    "tfidf_topterms": tfidf_topterms,
+    "dsir_logratio": dsir_logratio,
     "token_length_buckets": token_length_buckets,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -595,6 +780,8 @@ QUERIES = {
 ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "pmi_phrases": PMI_PHRASES_SQL,
+    "tfidf_topterms": TFIDF_TOPTERMS_SQL,
+    "dsir_logratio": DSIR_LOGRATIO_SQL,
     "token_length_buckets": TOKEN_BUCKETS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SCORE_SQL,
