@@ -399,11 +399,18 @@ RETIRED_FROM_DRIVER = (
     # phrase_search.
     "doc_fingerprint",
     "cutoff_widening",
+    # r5 session 7b: frame_sample_plan's integer frame-schedule math
+    # is the planning half of video_decode_stats, which is live and
+    # exercises the same schedule against REAL decoded AVI frames
+    # (multimodal.py); the pure-arithmetic variant stays compare.py-
+    # verified. Slot freed for winnowing_pairs.
+    "frame_sample_plan",
 )
 
 # Newest / riskiest queries go FIRST: CORRECTNESS_r04 truncated at
 # insertion position 50, silently dropping the two freshest entries.
 EARLY_ORDER = (
+    "winnowing_pairs",
     "hits_scores",
     "phrase_search",
     "recrawl_priority",
@@ -433,7 +440,6 @@ EARLY_ORDER = (
     "image_decode_stats",
     "repetition_score",
     "contamination_check",
-    "frame_sample_plan",
     "embedding_quantize",
     "sessionize_stateful_stream",
     "events_tumbling_agg",
@@ -496,6 +502,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dd.QUERIES["simhash"],
         "doc_fingerprint": tx.QUERIES["doc_fingerprint"],
         "cutoff_widening": q_cutoff_widening,
+        "frame_sample_plan": frame_sample_plan,
     }
 
 

@@ -77,6 +77,7 @@ HEADLINE = [
     "link_pagerank",
     "hits_scores",
     "phrase_search",
+    "winnowing_pairs",
     "semdedup_keep",
     "cms_heavy_hitters",
     "chunk_documents",

@@ -665,6 +665,148 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
 NGRAM_JACCARD_SQL = _lsh_sql(2, 0.3, seed_prefix="ng")
 
 
+# --------------------------------------------------------------------------
+# Winnowing fingerprints — guaranteed-detection local fingerprinting
+# --------------------------------------------------------------------------
+
+WIN_K = 4  # tokens per k-gram
+WIN_W = 4  # winnowing window (selection guarantee: runs >= W+K-1 = 7)
+WIN_MIN_SHARED = 2  # pairs must share >= this many fingerprints
+WIN_MAX_DF = 16  # stop-gram guard: drop hashes in more docs (hot keys)
+_POS_BITS = 20  # key = h40 * 2^20 + pos (lexicographic (h, pos) min)
+
+
+def winnowing_fps(docs: DataFrame) -> DataFrame:
+    """Per-doc winnowing fingerprint set (Schleimer, Wilkerson &
+    Aiken 2003, MOSS): hash every overlapping K-token gram, slide a
+    W-wide window over the hash sequence and keep each window's
+    minimum — ties broken leftmost via a packed (hash, pos) key. Any
+    token run of length >= W+K-1 shared by two documents is
+    GUARANTEED to share a selected gram hash — the deterministic
+    complement to minhash-LSH's probabilistic recall.
+
+    Portability: the gram hash is the md5-derived 40-bit int (the
+    HLL/CMS convention — identical in Spark conv() and DuckDB
+    CAST('0x'||...)); packing pos into the low 20 bits makes the
+    window MIN itself the leftmost-min arg-selection, one window
+    function, no arg_min (DuckDB's lacks a composite key). Docs with
+    more than 2^20 grams fail loudly rather than mis-order.
+
+    Scale shape: one codegen regex pass emits the gram stream; the
+    only exchange is the doc_id window partitioning (map-side nothing
+    to combine, but the stream is (doc, pos, 8-byte key) — never
+    text); selection + distinct happen inside that partitioning."""
+    grams = F.regexp_extract_all(
+        F.col("text"), F.lit(gram_pattern(WIN_K)), F.lit(1)
+    )
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"conv(substring(md5(gram), 1, 10), 16, 10)"
+        ).cast("bigint").alias("h40"),
+    )
+    key = F.expr(
+        f"h40 * {1 << _POS_BITS} + if(pos < {1 << _POS_BITS}, pos,"
+        f" raise_error('winnowing: doc exceeds 2^{_POS_BITS} grams'))"
+    )
+    from pyspark.sql import Window
+
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WIN_W - 1), 0)
+    )
+    wdoc = Window.partitionBy("doc_id")
+    sel = (
+        g.select(
+            "doc_id",
+            "pos",
+            F.min(key).over(wsel).alias("selkey"),
+            F.count("*").over(wdoc).alias("n_grams"),
+        )
+        # valid window ends; short docs keep their last (full-prefix)
+        # window so a < W-gram doc still fingerprints
+        .filter(
+            (F.col("pos") >= WIN_W - 1) | (F.col("pos") == F.col("n_grams") - 1)
+        )
+        .select(
+            "doc_id", F.expr(f"selkey DIV {1 << _POS_BITS}").alias("h40")
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= WIN_MIN_SHARED winnowing
+    fingerprints. Candidate generation is the fingerprint equi-join —
+    bounded per hash by the WIN_MAX_DF stop-gram guard (a boilerplate
+    gram shared by hundreds of docs is evidence of nothing and would
+    otherwise be a quadratic hot key — the duplicate_runs band-pass
+    convention), so the join never goes n²."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = winnowing_fps(docs)
+    df_h = fps.groupBy("h40").agg(F.count("*").cast("bigint").alias("df"))
+    fps = fps.join(
+        df_h.filter((F.col("df") >= 2) & (F.col("df") <= WIN_MAX_DF)), "h40"
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "h40")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+    )
+
+
+def _winnowing_sql() -> str:
+    parts = " || ' ' || ".join(f"s[i + {j + 1}]" for j in range(WIN_K))
+    p = 1 << _POS_BITS
+    return f"""
+WITH gl AS (
+  SELECT doc_id,
+         list_transform(range(0, len(s) - {WIN_K - 1}), i -> {parts}) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+gr AS (
+  SELECT doc_id, unnest(range(0, len(g))) AS pos, unnest(g) AS gram FROM gl),
+keyed AS (
+  SELECT doc_id, pos,
+         CAST('0x' || substr(md5(gram), 1, 10) AS BIGINT) * {p}
+           + CASE WHEN pos < {p} THEN pos ELSE error('winnowing overflow') END
+           AS key
+  FROM gr),
+win AS (
+  SELECT doc_id, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+           AS selkey,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM keyed),
+fps AS (
+  SELECT DISTINCT doc_id, selkey // {p} AS h40
+  FROM win WHERE pos >= {WIN_W - 1} OR pos = n_grams - 1),
+kept AS (
+  SELECT f.doc_id, f.h40 FROM fps f JOIN (
+      SELECT h40 FROM fps GROUP BY h40
+      HAVING COUNT(*) BETWEEN 2 AND {WIN_MAX_DF}) d USING (h40))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h40 = b.h40 AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {WIN_MIN_SHARED}
+ORDER BY n_shared DESC, doc_a, doc_b
+"""
+
+
+WINNOWING_PAIRS_SQL = _winnowing_sql()
+
+
 QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -673,6 +815,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "neardup_clusters": neardup_clusters,
     "duplicate_runs": duplicate_runs,
+    "winnowing_pairs": winnowing_pairs,
 }
 
 ORACLES = {
@@ -683,4 +826,5 @@ ORACLES = {
     "contamination_check": CONTAMINATION_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "duplicate_runs": DUPLICATE_RUNS_SQL,
+    "winnowing_pairs": WINNOWING_PAIRS_SQL,
 }

@@ -173,14 +173,16 @@ def hits_frame(nodes: DataFrame, edges: DataFrame, n_nodes: int,
         "node", F.lit(HITS_SCALE // n_nodes).cast("bigint").alias("h")
     ).localCheckpoint(eager=True)
     a = None
+    # zero-score nodes are dropped from the in-flight state, not
+    # carried: a missing row contributes exactly 0 to every Σ (the
+    # groupBy sums and the L1 totals alike), so the per-iteration
+    # left-join against the node universe would buy nothing but two
+    # extra exchanges per iteration — zeros rejoin once at the end.
     for _ in range(n_iter):
         ar = (
             h.join(edges, h.node == edges.src)
-            .groupBy("dst")
-            .agg(F.sum("h").cast("bigint").alias("c"))
-        )
-        ar = nodes.join(ar, nodes.node == ar.dst, "left").select(
-            "node", F.coalesce("c", zero).alias("ar")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("bigint").alias("ar"))
         )
         atot = ar.agg(F.sum("ar").cast("bigint").alias("atot"))
         a = (
@@ -195,11 +197,8 @@ def hits_frame(nodes: DataFrame, edges: DataFrame, n_nodes: int,
         )
         hr = (
             a.join(edges, a.node == edges.dst)
-            .groupBy("src")
-            .agg(F.sum("a").cast("bigint").alias("c"))
-        )
-        hr = nodes.join(hr, nodes.node == hr.src, "left").select(
-            "node", F.coalesce("c", zero).alias("hr")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("bigint").alias("hr"))
         )
         htot = hr.agg(F.sum("hr").cast("bigint").alias("htot"))
         h = (
@@ -212,8 +211,14 @@ def hits_frame(nodes: DataFrame, edges: DataFrame, n_nodes: int,
             )
             .localCheckpoint(eager=True)
         )
-    return h.join(a, "node").select(
-        "node", F.col("h").alias("hub_9"), F.col("a").alias("auth_9")
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", zero).alias("hub_9"),
+            F.coalesce("a", zero).alias("auth_9"),
+        )
     )
 
 
