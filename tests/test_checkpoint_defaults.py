@@ -206,11 +206,20 @@ def test_content_minhash_in_flight(spark, web, web_dfs):
         " ",
         F.transform(F.filter("spans", lambda s: s["kind"] == "text"), lambda s: s["text"]),
     )
-    doc = (
+    # independent recomputation in PURE PYTHON (hashlib + ints), not a
+    # second copy of the Spark expression — the signature spec is
+    # min_i((a_i * int(md5(tok)[:8], 16) + b_i) mod P) over the
+    # page's distinct tokens
+    import hashlib
+
+    from webcrawlergo_spark.plans.wave import MINHASH_P, minhash_ab
+
+    toks = set(
         web_dfs["index"].filter(F.col("url") == row["url"])
         .join(web_dfs["docs"], "doc_id")
         .select(F.explode(F.array_distinct(F.split(text, " "))).alias("g"))
-        .agg(*[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"mh{i}") for i in range(8)])
-        .collect()[0]
+        .toPandas()["g"]
     )
-    assert all(row[f"mh{i}"] == doc[f"mh{i}"] for i in range(8))
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+    for i, (a, b) in enumerate(minhash_ab(8)):
+        assert row[f"mh{i}"] == min((a * h + b) % MINHASH_P for h in hs)

@@ -70,6 +70,31 @@ from ..operators.validate import (
 from .checkpoint import CheckpointStore
 from .rank import with_global_rank, with_host_seq
 
+# In-flight content-minhash permutation family: ONE md5 per distinct
+# token (its first 8 hex digits as a 32-bit base hash), then N
+# universal hashes (a·h + b) mod P over that single integer — the
+# classic minwise scheme (Broder 1997). Replaces N md5 evaluations
+# per token (8 md5s + 32-char string mins measured as ~30% of total
+# crawl wall at 200k pages; one md5 + integer mins reclaims most of
+# it, and the partial-agg shuffle rows shrink 32-char strings →
+# 8-byte longs). P is the classic prime > 2^32; a < 2^29 odd and
+# h < 2^32 keep a·h + b < 2^61 — no BIGINT overflow.
+MINHASH_P = 4294967311
+
+
+def minhash_ab(n: int) -> tuple[tuple[int, int], ...]:
+    """Deterministic (a_i, b_i) pairs, md5-derived so any runtime
+    (Spark expr, pure-Python golden, tests) regenerates them."""
+    import hashlib as _h
+
+    return tuple(
+        (
+            int(_h.md5(f"a{i}".encode()).hexdigest()[:7], 16) * 2 + 1,
+            int(_h.md5(f"b{i}".encode()).hexdigest()[:7], 16),
+        )
+        for i in range(n)
+    )
+
 FRONTIER_COLS = "url string, host string, depth int, parent_rank long, span_offset int, link_pos int, should_fetch boolean, retry_count int"
 
 def _bloom_overflow_metric():
@@ -762,19 +787,31 @@ class CrawlEngine:
                     # here re-evaluated split(text) per element_at — the
                     # HOF path is interpreted with NO common-subexpr
                     # elimination (measured 10× wall blowup).
+                    # ONE md5 per token, N integer permutations of it
+                    # (module docstring at minhash_ab) — never N md5s
                     mh = (
                         fetched_docs.select(
                             "url",
                             "event_rank",
                             F.explode_outer(F.array_distinct(F.split(text, " "))).alias("_g"),
                         )
+                        .select(
+                            "url",
+                            "event_rank",
+                            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10)
+                            .cast("bigint")
+                            .alias("_h"),
+                        )
                         .groupBy("url", "event_rank")
                         .agg(
                             *[
                                 F.min(
-                                    F.md5(F.concat(F.lit(f"{i}:"), F.col("_g")))
+                                    (F.lit(a) * F.col("_h") + F.lit(b))
+                                    % F.lit(MINHASH_P)
                                 ).alias(f"mh{i}")
-                                for i in range(cfg.content_minhash_seeds)
+                                for i, (a, b) in enumerate(
+                                    minhash_ab(cfg.content_minhash_seeds)
+                                )
                             ]
                         )
                     )
