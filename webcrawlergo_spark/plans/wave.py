@@ -703,15 +703,21 @@ class CrawlEngine:
             # same wave at 32 = 3.3 s; whole crawl 41 s → 33 s).
             # Repartitioning the ~100 B rows is one trivial shuffle;
             # tiny end-of-crawl waves stay narrow via the row gate.
-            # Real-fetch mode is excluded on BOTH counts: its sim
-            # carries the fetched spans INLINE (a width-restore there
-            # would shuffle the full page content), and its width is
-            # already set by the pre-fetch repartition(host).
-            if self.fetcher is None:
-                width = min(
-                    spark.sparkContext.defaultParallelism,
-                    max(1, n_events // 1000),
-                )
+            # Real-fetch mode: its sim carries the fetched spans
+            # INLINE (a width restore shuffles full page content) and
+            # a multi-host frontier is already wide from the pre-fetch
+            # repartition(host) — so no restore there. EXCEPT the
+            # single-host crawl (the reference's default mode): there
+            # repartition(host) is necessarily ONE task — correct for
+            # the fetch itself (per-host politeness serializes the
+            # wire anyway) but nothing says the extract must stay
+            # serial; one bounded shuffle of the wave's fetched
+            # content buys full-width regex/canonicalize work.
+            width = min(
+                spark.sparkContext.defaultParallelism,
+                max(1, n_events // 1000),
+            )
+            if self.fetcher is None or cfg.same_host_only:
                 sim = sim.repartition(width)
             sim = sim.localCheckpoint(eager=True)
             n_retries = int(obs_sim.get["n_retries"] or 0)
