@@ -151,3 +151,44 @@ def test_kmeans_refinement_improves_cluster_purity(spark):
     a2 = accuracy(2)
     assert a2 >= a1, (a1, a2)
     assert a2 >= 0.95, a2
+
+
+def test_semdedup_threshold_equivalence(spark):
+    """The r6 semdedup prune filter replaces ``round(cos, 6) >= τ``
+    with the raw-double cut ``cos >= _SEMDEDUP_CUT`` (τ − 5e-7 as a
+    parsed double) to keep BigDecimal/toString out of the 10^7-pair
+    hot loop. The two predicates must agree for EVERY double —
+    asserted here over adversarial boundary values: the cut itself,
+    its ulp neighbours, every 1e-6 grid point near τ with ±ulp
+    jitter, randoms, ±0.0 and NaN (NaN ≥ τ under Spark ordering on
+    both spellings)."""
+    import math
+    import struct
+
+    from webcrawlergo_spark.operators.similarity import _SEMDEDUP_CUT, SEMDEDUP_TAU
+
+    def ulp_step(x: float, n: int) -> float:
+        (bits,) = struct.unpack("<q", struct.pack("<d", x))
+        return struct.unpack("<d", struct.pack("<q", bits + n))[0]
+
+    vals = [float("nan"), 0.0, -0.0, 1.0, -1.0, SEMDEDUP_TAU, _SEMDEDUP_CUT]
+    for base in [0.299998 + k * 1e-6 for k in range(5)] + [_SEMDEDUP_CUT, 0.3]:
+        for n in range(-3, 4):
+            vals.append(ulp_step(base, n))
+    import random
+
+    rng = random.Random(6)
+    vals += [rng.uniform(0.2999, 0.3001) for _ in range(200)]
+    vals += [rng.uniform(-2, 2) for _ in range(200)]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    bad = df.filter(
+        (F.round("x", 6) >= F.lit(SEMDEDUP_TAU)) != (F.col("x") >= F.lit(_SEMDEDUP_CUT))
+    ).count()
+    assert bad == 0
+    # NaN must land on the pruned side under both spellings
+    nan_row = df.filter(F.isnan("x")).select(
+        (F.round("x", 6) >= F.lit(SEMDEDUP_TAU)).alias("a"),
+        (F.col("x") >= F.lit(_SEMDEDUP_CUT)).alias("b"),
+    ).collect()[0]
+    assert nan_row["a"] == nan_row["b"]

@@ -24,10 +24,16 @@ def _flagship(spark):
     return latest_pages(pages_view(ev), urls_view(ev))
 
 
-def test_flagship_window_group_limit(spark):
+def test_flagship_latest_is_partial_aggregate(spark):
+    """r6: the latest-row-per-url selection must be a max(struct)
+    AGGREGATE with a map-side partial (one surviving row per url per
+    input partition crosses the exchange, no sort) — not a window,
+    which even with its WindowGroupLimit top-1 push-down paid a
+    per-partition sort plus a post-shuffle sort."""
     df = _flagship(spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan, plan
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_flagship_no_forced_broadcast(spark):

@@ -42,14 +42,84 @@ def _signs(p: int) -> list[int]:
 _SIGN_SQL_CASE = "CASE WHEN substr(md5(CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END"
 
 
-def _dot(a, b):
-    """Sequential-fold dot product of two array<double> columns."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+def _dot(a, b, dim: int = DIM):
+    """Dot product of two fixed-``dim`` numeric array columns as an
+    UNROLLED codegen expression:
+    lit(0.0) + a[1]·b[1] + … + a[dim]·b[dim], left-associated, each
+    element cast to double individually.
+
+    Bit-identical to the previous ``aggregate(zip_with(cast(a), cast(b),
+    *), 0.0, acc + x)`` spelling (and to DuckDB's list_dot_product
+    loop): a float→double SCALAR cast is exact, so casting elements
+    instead of the whole array changes nothing numerically, IEEE
+    addition is deterministic given the order, and the unrolled sum
+    evaluates in exactly the fold's order including the leading
+    ``0.0 +`` step (which normalizes a −0.0 first product the way the
+    fold's initial accumulator does). Two r6 performance lessons live
+    here:
+
+    - the fold ran INTERPRETED (higher-order functions are
+      CodegenFallback) — 64 lambda dispatches per row per fold vs one
+      whole-stage-codegen arithmetic chain; semdedup_keep evaluates a
+      fold per candidate PAIR (25M at sf1.0);
+    - the per-ELEMENT cast matters as much as the unroll: with
+      ``v = cast(embedding AS array<double>)`` as the input column,
+      CollapseProject inlines the O(dim) array cast into every
+      element_at reference — O(dim²) work per fold, measured as a 5×
+      REGRESSION before the callers switched to passing the raw
+      parquet float array (the embedding_quantize CollapseProject
+      trap, round 2)."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + (
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+        )
+    return acc
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v) with v the RAW parquet float array — deliberately
+    NOT cast to array<double> here (r6): an array-level cast column
+    gets inlined by CollapseProject into every element_at of the
+    unrolled _dot/_sub_l2 consumers, re-casting the whole vector per
+    element access (O(dim²) per fold — the embedding_quantize trap).
+    The unrolled expressions cast per ELEMENT (exact for float→double)
+    and the few array-level consumers (pandas-UDF bucketing, the
+    quantize transforms, the kmeans lattice) cast at their boundary,
+    where the array is materialized once per row."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return emb.select("vec_id", F.col("embedding").alias("v"))
+
+
+def _pair_dot(a, b):
+    """Vectorized Arrow twin of ``_dot`` for per-PAIR scoring streams:
+    one pandas-UDF double per row.
+
+    BIT-IDENTICAL by the _bucket_nv_struct argument: vectorized across
+    ROWS, sequential across DIMS (``acc += a[:, d] * b[:, d]`` for
+    d = 0..DIM-1 — the exact left-fold order), inputs cast to
+    array<double> at the Arrow boundary (exact for float32). r6
+    measurement: every JVM spelling of a 64-term dot (interpreted HOF
+    fold, unrolled codegen, with or without huge-method JIT) costs
+    2.5-27 µs per evaluation; the Arrow batch path amortizes to tens
+    of NANOseconds per pair (guide §4.2 — hand whole batches to
+    numpy)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _udf(ca: pd.Series, cb: pd.Series) -> pd.Series:
+        n = len(ca)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(ca.to_numpy())
+        mb = np.stack(cb.to_numpy())
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(ma.shape[1]):
+            acc = acc + ma[:, d] * mb[:, d]  # sequential in d == left fold
+        return pd.Series(acc)
+
+    return _udf(a.cast("array<double>"), b.cast("array<double>"))
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,15 +127,21 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: broadcast-nested-loop of a 3-row query side against
     the corpus — the corpus side streams, nothing shuffles until the
-    per-query top-k (a tiny TakeOrdered per group).
-    """
-    vecs = _vecs(spark, sf_dir).withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    per-query top-k (a tiny TakeOrdered per group). The per-pair dot
+    runs through the Arrow batch path (``_pair_dot``); norms are
+    per-vector — ALSO via the Arrow path, which pins their evaluation
+    into an ArrowEvalPython node below the join (a JVM norm expression
+    gets CollapseProject-inlined into the post-join projection and
+    re-evaluated per PAIR); the division + 6dp round stay in the JVM
+    so the emitted score is Spark's own rounding."""
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "nv", F.sqrt(_pair_dot(F.col("v"), F.col("v")))
+    )
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     pairs = vecs.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    # norms precomputed per vector (one narrow map), one fold per pair
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
+    cos = _pair_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -164,7 +240,10 @@ def _bucket_nv_struct(v):
             nv = nv + m[:, d] * m[:, d]
         return pd.DataFrame({"bucket": bucket.astype("int32"), "nv": np.sqrt(nv)})
 
-    return _udf(v)
+    # cast at the UDF boundary: _vecs now carries the raw float array
+    # (see its docstring) and the numpy path must accumulate in
+    # float64; the Arrow projection materializes the cast once per row
+    return _udf(v.cast("array<double>"))
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,7 +590,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Zero vectors quantize with scale=1 (guarded identically in the
     oracle) instead of dividing by zero."""
-    vecs = _vecs(spark, sf_dir)
+    # array-level cast re-established here (see _vecs r6 note): the
+    # HOF transforms below bind their input once per row, and the
+    # checkpoint barrier materializes scale before the per-element map
+    vecs = _vecs(spark, sf_dir).select(
+        "vec_id", F.col("v").cast("array<double>").alias("v")
+    )
     absmax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
     scaled = vecs.select(
         "vec_id",
@@ -574,15 +658,18 @@ PQ_CODE_IDS = [100 + 9 * i for i in range(PQ_K)]
 
 def _sub_l2(a, b, m: int):
     """Squared L2 between subspace m of two array<double> columns —
-    the same sequential-fold spelling as _dot so Spark and DuckDB
-    produce bit-identical doubles."""
-    sa = F.slice(a, m * PQ_SUB + 1, PQ_SUB)
-    sb = F.slice(b, m * PQ_SUB + 1, PQ_SUB)
-    return F.aggregate(
-        F.zip_with(sa, sb, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    unrolled codegen arithmetic in the same left-fold order as the
+    previous slice + zip_with + aggregate spelling, with per-element
+    double casts (see _dot for both arguments), so Spark and DuckDB
+    still produce bit-identical doubles."""
+    acc = F.lit(0.0)
+    for i in range(PQ_SUB):
+        d = (
+            F.element_at(a, m * PQ_SUB + i + 1).cast("double")
+            - F.element_at(b, m * PQ_SUB + i + 1).cast("double")
+        )
+        acc = acc + d * d
+    return acc
 
 
 def _pq_codebook(vecs: DataFrame) -> DataFrame:
@@ -794,13 +881,15 @@ def _quant_vec(v):
 
 
 def _int_l2(a, b):
-    """Exact squared L2 between two array<long> lattice vectors.
-    Bounded: |q| ≤ ~1e7 ⇒ Σ64·(Δq)² ≤ ~6.4e15 < 2^63."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    """Exact squared L2 between two array<long> lattice vectors,
+    unrolled to codegen arithmetic (integer adds are associative, so
+    ordering is moot here — the unroll is purely the interpreted-HOF
+    removal). Bounded: |q| ≤ ~1e7 ⇒ Σ64·(Δq)² ≤ ~6.4e15 < 2^63."""
+    acc = F.lit(0).cast("long")
+    for i in range(DIM):
+        d = F.element_at(a, i + 1) - F.element_at(b, i + 1)
+        acc = acc + d * d
+    return acc
 
 
 def kmeans_refine_frames(
@@ -904,6 +993,11 @@ KMEANS_CELLS_SQL = _kmeans_sql()
 # --------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.3
+# raw-double cut equivalent to round(x, 6) >= SEMDEDUP_TAU — see the
+# threshold note inside semdedup_keep (derived, not tuned: τ − 5e-7
+# parsed as a double; any x at or above it rounds to ≥ τ at 6dp, any
+# x below it rounds below τ)
+_SEMDEDUP_CUT = float("0.2999995")
 
 
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,30 +1015,95 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic canonical-representative rule the exact/minhash
     dedup family uses.
 
-    Scale shape: one shuffle on the cell key; per-cell pair
-    generation is quadratic in CELL size only — cells are balanced by
-    the k-means objective, and a skewed mega-cell splits under AQE
-    exactly like the LSH band buckets (dedup.py). The prune decision
-    is an anti-join against the pruned-id set."""
-    vecs = _vecs(spark, sf_dir).withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    r6 shape (guide §4.2/§8 — the r5 shape was a per-cell pair
+    SELF-JOIN whose cosine expression evaluated ~50M times in the JVM
+    at sf1.0, 62 s warm): one shuffle of the (vec_id, v, cell) rows on
+    the cell key into a cogrouped Arrow pass that computes the whole
+    per-cell cosine matrix in numpy and emits the survivors directly —
+    the corpus crosses the Python boundary ONCE (N rows, never N²
+    pairs), and the pair work is 64 vectorized rank-1 updates per
+    cell. Bit-exactness is preserved by construction:
+
+    - dots accumulate SEQUENTIALLY in d (``P += outer(m[:,d], m[:,d])``
+      — the exact left-fold order of the JVM/DuckDB spelling) and
+      cos = P / (nv_i · nv_j) uses the same multiply-then-divide;
+    - the τ filter uses the raw-double cut ``cos >= _SEMDEDUP_CUT``
+      (τ − 5e-7 as a parsed double), exactly equivalent to
+      ``round(cos, 6) >= τ`` for every double because shortest-repr
+      HALF_UP rounding is monotone (boundary doubles verified in
+      test_semdedup_threshold_equivalence); NaN cosines (zero-norm
+      vectors) count as ≥ τ, matching Spark's NaN-is-largest ordering;
+    - prune rule unchanged: j is pruned iff ANY i < j in its cell has
+      cos(i, j) at or above the cut.
+
+    At 10^10 vectors a cell is one Arrow task and the matrix loops in
+    column blocks (bounded memory); the same block key could shard a
+    mega-cell across tasks — the per-cell work is quadratic in cell
+    size under EITHER shape, this one just does it at numpy speed."""
+    vecs = _vecs(spark, sf_dir)
     _, assign = _cells(vecs.select("vec_id", "v"))
-    va = vecs.join(assign, "vec_id")
-    b = va.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-        F.col("cell").alias("cell_b"),
+    va = vecs.join(assign, "vec_id").select(
+        "vec_id", F.col("v").cast("array<double>").alias("v"), "cell"
     )
-    cos = _dot(F.col("v"), F.col("vb")) / (F.col("nv") * F.col("nb"))
-    pruned = (
-        va.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_id") < F.col("vec_b")))
-        .filter(F.round(cos, 6) >= SEMDEDUP_TAU)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
+
+    cut = _SEMDEDUP_CUT
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pdf[["vec_id", "cell"]]
+        m = np.stack(pdf["v"].to_numpy())  # (n, DIM) float64
+        dim = m.shape[1]
+        # transpose once so each dim's column is CONTIGUOUS: the
+        # rank-1 updates below read one dim across all rows, which in
+        # row-major (n, DIM) layout is a 512-byte-stride gather —
+        # measured 10× slower than the same loop over (DIM, n)
+        mt = np.ascontiguousarray(m.T)
+        nv = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            nv = nv + mt[d] * mt[d]  # sequential in d == left fold
+        nv = np.sqrt(nv)
+        pruned = np.zeros(n, dtype=bool)
+        # blocked rank-1 accumulation: the naive `p += outer(...)` per
+        # dim allocates and streams the full n×n matrix 64 times
+        # (measured DRAM-bound, ~6 s at sf1.0); an (i, j) block small
+        # enough to stay cache-resident across the 64 d-updates brings
+        # the traffic down to one write of the matrix. d stays the
+        # INNERMOST sequential loop — the bit-exact fold order.
+        jblk, iblk = 4096, 128
+        for j0 in range(0, n, jblk):
+            j1 = min(j0 + jblk, n)
+            hit_any = np.zeros(j1 - j0, dtype=bool)
+            jidx = np.arange(j0, j1)
+            for i0 in range(0, n, iblk):
+                i1 = min(i0 + iblk, n)
+                pb = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                tmp = np.empty_like(pb)
+                for d in range(dim):
+                    np.multiply(mt[d, i0:i1, None], mt[d, None, j0:j1], out=tmp)
+                    pb += tmp  # sequential in d == left fold
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = pb / np.outer(nv[i0:i1], nv[j0:j1])
+                hit = (cos >= cut) | np.isnan(cos)  # NaN ≥ τ (Spark ordering)
+                # j pruned iff any i < j (global index) hits
+                rows = np.arange(i0, i1)[:, None] < jidx[None, :]
+                hit_any |= (hit & rows).any(axis=0)
+            pruned[j0:j1] = hit_any
+        return pdf.loc[~pruned, ["vec_id", "cell"]]
+
+    # pin the exchange width: the grouped rows are only ~500 bytes per
+    # vector, so AQE's size-based coalescing folds the whole corpus
+    # into ONE post-shuffle partition and the per-cell Arrow passes
+    # run serially in a single Python task (the wave-width lesson,
+    # plans/wave.py). An explicit repartition on the group key keeps
+    # the cells spread; groupBy reuses the partitioning, so this is
+    # still exactly one exchange.
+    n_part = int(va.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        va.join(pruned, "vec_id", "left_anti")
-        .select("vec_id", "cell")
+        va.repartition(n_part, "cell")
+        .groupBy("cell")
+        .applyInPandas(_prune, "vec_id long, cell int")
         .orderBy("vec_id")
     )
 

@@ -47,7 +47,12 @@ def exact_percentiles_frame(
         .agg(F.count("*").alias("cnt"))
     )
     cum = with_running_sum(counts, ["v"], "cnt", "cum")
-    tot = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    # total = the max inclusive running sum — read off the frame
+    # with_running_sum just localCheckpoint'ed instead of re-scanning
+    # the input and re-running the counts groupBy (r6, VERDICT item 4:
+    # the tot branch was a second full scan+shuffle; integer max over
+    # the checkpointed cum is bit-identical to sum(cnt))
+    tot = cum.agg(F.max("cum").cast("bigint").alias("n"))
     targets = (
         spark.createDataFrame([(p,) for p in pcts], "pct double")
         .crossJoin(F.broadcast(tot))

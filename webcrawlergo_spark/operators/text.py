@@ -529,16 +529,29 @@ def pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigrams = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    uni = unigrams.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
-    bg = (
+    # r6: aggregate each token stream ONCE and derive the scalar
+    # totals from the aggregated tables (Σ of the group counts ==
+    # COUNT over the stream, exact integers) — the corpus was being
+    # exploded four times (uni / bg / nu / nb); now twice, and the
+    # vocab-sized frames are checkpointed because each feeds 2-3
+    # consumers (guide §2.3 aggregate-before-shuffle).
+    uni = (
+        unigrams.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bg_full = (
         bigrams.groupBy("bg")
         .agg(F.count("*").cast("bigint").alias("c_xy"))
-        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .localCheckpoint(eager=True)
+    )
+    bg = (
+        bg_full.filter(F.col("c_xy") >= PMI_MIN_COUNT)
         .withColumn("x", F.split("bg", " ")[0])
         .withColumn("y", F.split("bg", " ")[1])
     )
-    nu = unigrams.agg(F.count("*").cast("bigint").alias("nu"))
-    nb = bigrams.agg(F.count("*").cast("bigint").alias("nb"))
+    nu = uni.agg(F.sum("c").cast("bigint").alias("nu"))
+    nb = bg_full.agg(F.sum("c_xy").cast("bigint").alias("nb"))
     ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
     uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
     scored = (
@@ -616,8 +629,12 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count("*").cast("bigint").alias("tf")
+    # r6: tf feeds both the df rollup and the scoring join — checkpoint
+    # it so the corpus-token explode+groupBy executes once, not twice
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_tab = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))

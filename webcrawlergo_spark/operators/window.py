@@ -24,17 +24,31 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def latest_pages(pages: DataFrame, urls: DataFrame) -> DataFrame:
-    """Latest fetched page per URL: J1 join + W1 window + rn=1 filter.
+    """Latest fetched page per URL: J1 join + W1 latest-row-per-key +
+    rn=1 semantics.
 
     Mirrors reference models/page.go:20-44 (QueryGetLatestPagesCount /
     QueryGetLatestPages): pages ⋈ urls ON p.url_id = u.id, keep newest
     row per url.
+
+    r6 shape: the ROW_NUMBER window + rn=1 filter is spelled as a
+    ``max(struct(added_at, id, doc_id))`` aggregate — identical row
+    selection (struct ordering compares added_at, then the unique page
+    id, exactly the window's DESC/DESC tie-break; doc_id merely rides
+    along), but a hash aggregate with a MAP-SIDE PARTIAL: the exchange
+    carries at most one row per url per input partition and no sort
+    runs at all, where the window shape paid a per-partition sort +
+    post-shuffle sort even with its WindowGroupLimit top-1 push-down
+    (guide §2.3/§2.4 — at sf1.0 the flagship's warm time dropped ~2×).
     """
-    w = Window.partitionBy("url_id").orderBy(F.col("added_at").desc(), F.col("id").desc())
     latest = (
-        pages.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        pages.groupBy("url_id")
+        .agg(F.max(F.struct("added_at", "id", "doc_id")).alias("_top"))
+        .select(
+            "url_id",
+            F.col("_top.added_at").alias("added_at"),
+            F.col("_top.doc_id").alias("doc_id"),
+        )
     )
     return (
         latest.join(urls, latest.url_id == urls.id, "inner")

@@ -58,11 +58,22 @@ def get_spark(
         # kernel time, mostly-idle CPUs). A fixed pre-touched heap with
         # a throughput collector removed the stalls (3x on the crawl
         # bench). On a real cluster, apply the same to executors.
+        #
+        # -XX:-DontCompileHugeMethods (r6): whole-stage codegen of the
+        # unrolled fixed-dim vector arithmetic (operators/similarity.py
+        # _dot/_sub_l2 — ~450 scalar ops inside one join-consume
+        # method) exceeds HotSpot's 8000-bytecode JIT cutoff, leaving
+        # the hottest generated method running in the BYTECODE
+        # INTERPRETER: measured 42 s vs 1.8 s for the identical
+        # 5M-row dot-product stage with the flag flipped. Codegen'd
+        # SQL is exactly the "huge generated method" case the default
+        # cutoff was not designed for; apply to executors too on a
+        # real cluster.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:+UseParallelGC -XX:+AlwaysPreTouch -Xms"
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch -XX:-DontCompileHugeMethods -Xms"
                 + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"),
             ),
         )
