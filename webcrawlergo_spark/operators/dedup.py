@@ -202,7 +202,14 @@ def _lsh_jaccard_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = docs.join(cand_docs, "doc_id", "left_semi").select("doc_id", sh.alias("sh"))
+    # checkpointed: sh_cand feeds BOTH verify joins (sh_a and sh_b)
+    # and Catalyst has no cross-branch subtree CSE, so without the
+    # barrier the candidate-doc shingle regex ran twice (r6)
+    sh_cand = (
+        docs.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", sh.alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     cand = (
         cand.join(sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -227,7 +234,9 @@ def _lsh_jaccard_pairs(
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH near-dups over word 3-gram shingles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     return _lsh_jaccard_pairs(docs, n=SHINGLE, threshold=threshold)
 
 
@@ -281,7 +290,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits → one groupBy(doc_id) with 16 sums (map-side combine) →
     sign-assemble. Scales as a single shuffle keyed on doc_id.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     ).withColumn("h", F.md5("tok"))
@@ -577,6 +588,11 @@ def duplicate_runs_df(
             )
         ).alias("pos", "g"),
     ).select("doc_id", "pos", F.md5("g").alias("h"))
+    # checkpointed: grams feeds the df band-pass AND the probe side of
+    # the semi-join below — without the barrier the gram regex + md5
+    # pass over the corpus executed twice (r6; the shuffle payload is
+    # (16-byte digest, doc_id, pos) — text never moves)
+    grams = grams.localCheckpoint(eager=True)
     eligible = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("gdf"))
@@ -613,7 +629,9 @@ def duplicate_runs_df(
 
 
 def duplicate_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     return duplicate_runs_df(docs)
 
 
@@ -658,7 +676,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
     3-gram shingles). The r2 version verified Jaccard arithmetic on an
     artificial (doc i, doc i+1) pairing; candidates now come from
     bucket collisions, the shape that scales (never n²)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     return _lsh_jaccard_pairs(docs, n=2, threshold=threshold, seed_prefix="ng")
 
 
@@ -747,8 +767,13 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram shared by hundreds of docs is evidence of nothing and would
     otherwise be a quadratic hot key — the duplicate_runs band-pass
     convention), so the join never goes n²."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fps = winnowing_fps(docs)
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    # checkpointed: fps feeds the df guard AND both sides of the pair
+    # join — without the barrier the gram regex + window selection ran
+    # up to three times (r6)
+    fps = winnowing_fps(docs).localCheckpoint(eager=True)
     df_h = fps.groupBy("h40").agg(F.count("*").cast("bigint").alias("df"))
     fps = fps.join(
         df_h.filter((F.col("df") >= 2) & (F.col("df") <= WIN_MAX_DF)), "h40"

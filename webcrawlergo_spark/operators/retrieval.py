@@ -88,7 +88,9 @@ def bm25_topk_df(
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     return bm25_topk_df(docs)
 
 
@@ -182,7 +184,9 @@ def phrase_search_df(
 
 
 def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     return phrase_search_df(docs)
 
 

@@ -88,7 +88,11 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the few array-level consumers (pandas-UDF bucketing, the
     quantize transforms, the kmeans lattice) cast at their boundary,
     where the array is materialized once per row."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    # spread the single-row-group scan (r6): every vector×codeword /
+    # vector×centroid fan-out otherwise runs on the scan's 1-2 tasks
+    emb = spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     return emb.select("vec_id", F.col("embedding").alias("v"))
 
 

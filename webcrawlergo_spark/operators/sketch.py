@@ -218,7 +218,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10^10 tokens the candidate set would itself be pre-filtered by
     a per-partition local top-k, but the probe plan (broadcast sketch
     + min-over-rows agg) is unchanged."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok") != ""
     )

@@ -45,6 +45,11 @@ def exact_percentiles_frame(
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("v"))
         .agg(F.count("*").alias("cnt"))
+        # checkpointed (r6): with_running_sum range-partitions this
+        # frame, and RangePartitioner's sampling pass would otherwise
+        # re-execute the whole scan+groupBy a second time before the
+        # real exchange does
+        .localCheckpoint(eager=True)
     )
     cum = with_running_sum(counts, ["v"], "cnt", "cum")
     # total = the max inclusive running sum — read off the frame
@@ -75,7 +80,11 @@ def exact_percentiles_frame(
 
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95/p99 of lineitem extended price, exactly."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    # spread on the groupBy key itself: the partial agg parallelizes
+    # AND the exchange doubles as the groupBy's required distribution
+    li = spread_scan(spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_extendedprice")
     return exact_percentiles_frame(li, "l_extendedprice")
 
 

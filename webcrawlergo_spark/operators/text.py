@@ -519,8 +519,9 @@ def pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus); the two scalar totals broadcast; the cut is
     TakeOrderedAndProject over the portably-rounded score."""
     from .dedup import gram_pattern
+    from webcrawlergo_spark.sources.tpch import spread_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     bigrams = docs.select(
         F.explode(
             F.regexp_extract_all(F.col("text"), F.lit(gram_pattern(2)), F.lit(1))
@@ -625,7 +626,9 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcastable at real scale); the scalar doc count broadcasts;
     the per-doc top-k is a row_number window over the doc_id
     partitioning the tf table already has."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -718,7 +721,9 @@ def dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DSIR paper's hashed-n-gram variant (fixed 10^4 buckets) drops
     in by replacing the term key with ``pmod(xxhash64(term), 10000)``
     when the raw vocabulary outgrows the broadcast budget."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawlergo_spark.sources.tpch import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
