@@ -290,3 +290,46 @@ def test_resume_from_overflow_degraded_cuckoo_blob_is_bit_identical(
             CrawlConfig(**base_cfg, checkpoint_dir=ckpt),
         ).run(resume=True)
         assert _collect_state(res) == want
+
+
+def test_resume_refuses_cross_format_signatures(spark, web, web_dfs):
+    """ADVICE r5: a checkpoint whose manifest predates the bigint
+    content-minhash format (stats_format absent/1) must fail LOUDLY at
+    resume when the run would append new-format signature columns —
+    not later, at a mixed-type schema merge."""
+    import json
+    import os
+
+    import pytest
+
+    from webcrawlergo_spark.plans.wave import STATS_FORMAT
+
+    base_cfg = dict(
+        base_url=web.base_url,
+        marked_paths=web.marked_paths,
+        ignore_patterns=web.ignore_patterns,
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        CrawlEngine(
+            spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+            CrawlConfig(
+                **base_cfg, checkpoint_dir=ckpt, max_waves=2,
+                analyze_pages=True, content_minhash=True,
+            ),
+        ).run()
+        # doctor the manifest back to the legacy format
+        mp = os.path.join(ckpt, "_manifest.json")
+        with open(mp) as f:
+            m = json.load(f)
+        assert m["meta"]["stats_format"] == STATS_FORMAT
+        del m["meta"]["stats_format"]
+        with open(mp, "w") as f:
+            json.dump(m, f)
+        with pytest.raises(RuntimeError, match="stats_format"):
+            CrawlEngine(
+                spark, web_dfs["index"], web_dfs["docs"], web_dfs["robots"],
+                CrawlConfig(
+                    **base_cfg, checkpoint_dir=ckpt,
+                    analyze_pages=True, content_minhash=True,
+                ),
+            ).run(resume=True)

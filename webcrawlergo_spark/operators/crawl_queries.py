@@ -131,7 +131,11 @@ def bfs_frontier(edges: DataFrame, seed: int = 0, max_depth: int = MAX_DEPTH) ->
     # 7x redundant work that showed up as the r2 driver-bench
     # regression (7.0s -> 11.2s). One eager checkpoint also gives the
     # per-wave anti-join a stats-known relation AQE can re-plan from.
-    edges = edges.localCheckpoint(eager=True)
+    # r6: pre-partitioned on src (the per-wave join key) before the
+    # checkpoint, so each wave's frontier⋈edges join sheds the
+    # edge-side exchange (the pagerank_frame trick).
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(n_shuf, F.col("src")).localCheckpoint(eager=True)
     frontier = spark.createDataFrame([(seed, 0)], "node long, depth int")
     seen = frontier.select("node")
     out = [frontier]

@@ -460,9 +460,14 @@ def connected_components(
     labeling (the keep-rule would silently keep extra copies).
     """
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # pre-partitioned on src (the per-round join key) before the
+    # one-time checkpoint, so each round's labels⋈sym join sheds the
+    # edge-side exchange (r6, the pagerank_frame trick)
+    n_shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(n_shuf, F.col("src"))
         .localCheckpoint(eager=True)
     )
     labels = (

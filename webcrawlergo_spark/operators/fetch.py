@@ -70,6 +70,14 @@ def _get_once(
     conn = conns.get(key)
     if conn is None:
         if addr is not None:
+            # PLAINTEXT by construction (ADVICE r5): the resolve seam
+            # is the localhost parity rig — it pins every URL (any
+            # scheme) to a local HTTP socket so real-fetch output can
+            # be compared bit-for-bit with fetch-sim. It is NOT a
+            # production DNS-pinning path: deploys needing pinned
+            # addresses with TLS must wrap_socket(server_hostname=
+            # host) here instead of using this seam (documented on
+            # make_http_fetcher).
             conn = http.client.HTTPConnection(addr[0], addr[1], timeout=timeout)
         elif scheme == "https":
             conn = http.client.HTTPSConnection(host, port or 443, timeout=timeout)
@@ -113,8 +121,13 @@ def make_http_fetcher(
 ) -> Callable[[DataFrame], DataFrame]:
     """Build the pluggable fetch operator.
 
-    ``resolve(host) -> (addr, port)`` pins DNS (tests: every logical
-    host → the in-process server; production: None → system DNS).
+    ``resolve(host) -> (addr, port)`` pins every host to a local
+    PLAINTEXT socket — it is the localhost parity rig (every logical
+    host → the in-process HTTP server, any URL scheme), NOT a
+    production DNS-pinning path: a pinned https fetch here would
+    silently drop TLS (ADVICE r5), so production deploys must leave
+    it None (system DNS + real HTTPSConnection) or add a
+    wrap_socket(server_hostname=host) pinned path.
     ``parse_body(html) -> (doc_id, spans)`` inverts the content
     serialization (default: sources.httpweb.parse_html_doc).
     ``request_delay_ms`` enforces a per-host floor between consecutive

@@ -58,7 +58,14 @@ def pagerank_frame(nodes: DataFrame, edges: DataFrame, n_nodes: int,
     """
     r0 = PR_SCALE // n_nodes
     base = (15 * r0) // 100
-    edges = edges.localCheckpoint(eager=True)
+    # pre-partition the edge set on the per-iteration join key BEFORE
+    # the one-time checkpoint (r6): LogicalRDD keeps the hash(src)
+    # partitioning, so every iteration's state⋈edges join sheds the
+    # edge-side exchange — measured 2.7 → 1.7 s warm at sf1.0 (and the
+    # variance collapses). Partition count = shuffle.partitions so
+    # EnsureRequirements recognizes the distribution.
+    n_shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(n_shuf, F.col("src")).localCheckpoint(eager=True)
     odeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("odeg"))
     # out-degree travels with the rank so each iteration joins once
     state = nodes.join(odeg, nodes.node == odeg.src).select(
@@ -169,7 +176,16 @@ def hits_frame(nodes: DataFrame, edges: DataFrame, n_nodes: int,
     truncated per iteration exactly like the wave loop."""
     from pyspark.sql import Observation
 
-    edges = edges.localCheckpoint(eager=True)
+    # two pre-partitioned copies of the edge set, one per join
+    # orientation (r6, the pagerank_frame trick doubled): the hub
+    # half-step joins on src, the authority half-step on dst — each
+    # iteration sheds BOTH edge-side exchanges for the price of
+    # checkpointing the (small, key-only) edge list twice. At 10^10
+    # edges this is the standard both-ways edge partitioning
+    # trade — storage for per-round network.
+    n_shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e_src = edges.repartition(n_shuf, F.col("src")).localCheckpoint(eager=True)
+    e_dst = edges.repartition(n_shuf, F.col("dst")).localCheckpoint(eager=True)
     zero = F.lit(0).cast("bigint")
     h = nodes.select(
         "node", F.lit(HITS_SCALE // n_nodes).cast("bigint").alias("h")
@@ -205,13 +221,13 @@ def hits_frame(nodes: DataFrame, edges: DataFrame, n_nodes: int,
 
     for _ in range(n_iter):
         ar = (
-            h.join(edges, h.node == edges.src)
+            h.join(e_src, h.node == e_src.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").cast("bigint").alias("ar"))
         )
         a = _rescale(ar, "ar", "a")
         hr = (
-            a.join(edges, a.node == edges.dst)
+            a.join(e_dst, a.node == e_dst.dst)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").cast("bigint").alias("hr"))
         )

@@ -45,12 +45,12 @@ def exact_percentiles_frame(
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("v"))
         .agg(F.count("*").alias("cnt"))
-        # checkpointed (r6): with_running_sum range-partitions this
-        # frame, and RangePartitioner's sampling pass would otherwise
-        # re-execute the whole scan+groupBy a second time before the
-        # real exchange does
-        .localCheckpoint(eager=True)
     )
+    # (r6 negative result, measured at sf1.0: checkpointing `counts`
+    # so RangePartitioner's sampling pass wouldn't recompute it made
+    # the query SLOWER — cold 5.7 → 10.3 s, warm 3.6 → 3.9 s; the
+    # scan+groupBy subtree is cheaper than materializing the
+    # millions-of-distinct-values frame. Left as the recompute.)
     cum = with_running_sum(counts, ["v"], "cnt", "cum")
     # total = the max inclusive running sum — read off the frame
     # with_running_sum just localCheckpoint'ed instead of re-scanning
@@ -79,12 +79,16 @@ def exact_percentiles_frame(
 
 
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p95/p99 of lineitem extended price, exactly."""
-    from webcrawlergo_spark.sources.tpch import spread_scan
+    """p50/p95/p99 of lineitem extended price, exactly.
 
-    # spread on the groupBy key itself: the partial agg parallelizes
-    # AND the exchange doubles as the groupBy's required distribution
-    li = spread_scan(spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_extendedprice")
+    (r6 negative result: spreading the 1-task lineitem scan on the
+    groupBy key — so the exchange doubles as the groupBy distribution
+    — measured cold 4.5 → 5.7 s, warm 3.3 → 3.5 s at sf1.0: the
+    values are near-unique, so the spread trades the serialized
+    1-task partial agg for a FULL raw-row shuffle with no map-side
+    collapse. Left on the raw scan; the cost here is the multi-pass
+    prefix-sum recipe, not the scan.)"""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return exact_percentiles_frame(li, "l_extendedprice")
 
 

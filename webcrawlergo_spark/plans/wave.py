@@ -80,6 +80,12 @@ from .rank import with_global_rank, with_host_seq
 # 8-byte longs). P is the classic prime > 2^32; a < 2^29 odd and
 # h < 2^32 keep a·h + b < 2^61 — no BIGINT overflow.
 MINHASH_P = 4294967311
+# content-signature format version carried in the checkpoint manifest
+# (ADVICE r5): bump whenever the page_stats signature columns change
+# shape/type so a resume across the change fails loudly at load, not
+# at a later multi-file schema merge. 2 = bigint universal-hash
+# minhash (r5); 1/absent = the md5-hex-string era.
+STATS_FORMAT = 2
 
 
 def minhash_ab(n: int) -> tuple[tuple[int, int], ...]:
@@ -489,6 +495,14 @@ class CrawlEngine:
 
         if resume and store and store.latest():
             m = store.latest()
+            fmt = int((m.get("meta") or {}).get("stats_format", 1))
+            if cfg.analyze_pages and cfg.content_minhash and fmt != STATS_FORMAT:
+                raise RuntimeError(
+                    f"checkpoint stats_format={fmt} predates this engine's "
+                    f"content-minhash format {STATS_FORMAT} (bigint lattice "
+                    "signatures, r5); discard the checkpoint or re-crawl — "
+                    "resuming would mix signature column types (ADVICE r5)"
+                )
             frontier = store.load(spark, "frontier")
             urls = store.load(spark, "urls")
             seen = store.load(spark, "seen")
@@ -1208,6 +1222,13 @@ class CrawlEngine:
                         # addresses the shard table that exists
                         "tier_shards": self._tier_shards,
                         "tier_ps": self._tier_ps,
+                        # content-signature format version (ADVICE r5):
+                        # 2 = bigint universal-hash minhash columns
+                        # (r5 rewrite); absent/1 = the md5-hex-string
+                        # era. Resume refuses a cross-format checkpoint
+                        # loudly instead of failing later on schema
+                        # merge of mixed mh column types.
+                        "stats_format": STATS_FORMAT,
                     },
                 )
                 # the commit write already materialized every state

@@ -50,8 +50,10 @@ def stream_dedup_distinct(
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass  # two sessions share the stage dir (ADVICE r5 TOCTOU)
     stream = spark.readStream.schema(batch_schema).parquet(stage)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
@@ -66,9 +68,15 @@ def stream_dedup_distinct(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(
+    # materialize off the memory sink, then DROP the sink table
+    # (ADVICE r5): each invocation otherwise left a dedup_out_N view
+    # pinning its full distinct key set in driver memory for the
+    # session's lifetime (bench cold+warm, test loops)
+    out = spark.sql(
         f"SELECT user_id, event_type FROM {query_name}"
-    ).orderBy("user_id", "event_type")
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(query_name)
+    return out.orderBy("user_id", "event_type")
 
 
 STREAM_DEDUP_SQL = """
