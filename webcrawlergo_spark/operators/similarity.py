@@ -78,7 +78,7 @@ def _dot(a, b, dim: int = DIM):
     return acc
 
 
-def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vecs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     """(vec_id, v) with v the RAW parquet float array — deliberately
     NOT cast to array<double> here (r6): an array-level cast column
     gets inlined by CollapseProject into every element_at of the
@@ -88,11 +88,19 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the few array-level consumers (pandas-UDF bucketing, the
     quantize transforms, the kmeans lattice) cast at their boundary,
     where the array is materialized once per row."""
-    from webcrawlergo_spark.sources.tpch import spread_scan
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if spread:
+        from webcrawlergo_spark.sources.tpch import spread_scan
 
-    # spread the single-row-group scan (r6): every vector×codeword /
-    # vector×centroid fan-out otherwise runs on the scan's 1-2 tasks
-    emb = spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
+        # spread the single-row-group scan (r6): a vector×codeword /
+        # vector×centroid fan-out otherwise runs on the scan's 1-2
+        # tasks. OPT-IN per query: the fan-out consumers (pq encode,
+        # semdedup/ivf cell assignment, kmeans) measured faster at
+        # both sf0.1 and sf1.0 with it; the light one-pass consumers
+        # (cosine, ann bucketing, quantize) measured SLOWER — their
+        # per-row work is one Arrow batch and the extra exchange is
+        # recomputed by every broadcast-build job in the plan.
+        emb = spread_scan(emb, "vec_id")
     return emb.select("vec_id", F.col("embedding").alias("v"))
 
 
@@ -469,14 +477,14 @@ def _cells(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build: every vector's coarse cell."""
-    _, assign = _cells(_vecs(spark, sf_dir))
+    _, assign = _cells(_vecs(spark, sf_dir, spread=True))
     return assign.orderBy("vec_id")
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: each query probes its N_PROBE nearest cells, exact
     cosine re-rank inside the probed inverted lists only."""
-    return ivf_topk_frames(_vecs(spark, sf_dir))
+    return ivf_topk_frames(_vecs(spark, sf_dir, spread=True))
 
 
 def ivf_topk_frames(vecs: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
@@ -712,7 +720,7 @@ def pq_codes_frame(vecs: DataFrame) -> DataFrame:
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle query: the full PQ code table (scalar int columns — the
     driver's comparator cannot hash array cells; minhash convention)."""
-    return pq_codes_frame(_vecs(spark, sf_dir)).orderBy("vec_id")
+    return pq_codes_frame(_vecs(spark, sf_dir, spread=True)).orderBy("vec_id")
 
 
 def pq_adc_topk_frames(vecs: DataFrame, shortlist: int = PQ_SHORTLIST) -> DataFrame:
@@ -788,7 +796,7 @@ def pq_adc_topk_frames(vecs: DataFrame, shortlist: int = PQ_SHORTLIST) -> DataFr
 
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN over the embeddings table (see pq_adc_topk_frames)."""
-    return pq_adc_topk_frames(_vecs(spark, sf_dir))
+    return pq_adc_topk_frames(_vecs(spark, sf_dir, spread=True))
 
 
 def _sub_l2_sql(a: str, b: str, m: int) -> str:
@@ -945,7 +953,7 @@ def kmeans_refine_frames(
 
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle query: cell assignment after KMEANS_ITER Lloyd rounds."""
-    return kmeans_refine_frames(_vecs(spark, sf_dir)).orderBy("vec_id")
+    return kmeans_refine_frames(_vecs(spark, sf_dir, spread=True)).orderBy("vec_id")
 
 
 def _kmeans_sql(n_iter: int = KMEANS_ITER) -> str:
@@ -1044,7 +1052,7 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     column blocks (bounded memory); the same block key could shard a
     mega-cell across tasks — the per-cell work is quadratic in cell
     size under EITHER shape, this one just does it at numpy speed."""
-    vecs = _vecs(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir, spread=True)
     _, assign = _cells(vecs.select("vec_id", "v"))
     va = vecs.join(assign, "vec_id").select(
         "vec_id", F.col("v").cast("array<double>").alias("v"), "cell"
