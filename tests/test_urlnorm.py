@@ -94,7 +94,14 @@ def test_expr_and_pandas_paths_agree_on_adversarial_corpus(spark):
             return "".join(rng.choice(junk) for _ in range(rng.randrange(12)))
         return " " * rng.randrange(3) + rng.choice(paths) + " " * rng.randrange(3)
 
-    corpus = [one() for _ in range(2000)]
+    # literals that specifically stress the r6 locate/substr spelling
+    # (first-'://' vs anchored-regex equivalence, empty authority,
+    # non-ASCII scheme chars, port-only authority)
+    corpus = [one() for _ in range(2000)] + [
+        "ab:cd://x", "http:///p", "a//b://x", "://x", "x://",
+        "é://x", "http://:8080/p", "x://h:", "h://a?#", "h://a#?",
+        "h://a#b?c", "h://a?b#c", "A+b-c.9://Host/P?q#f",
+    ]
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(corpus)], "id long, raw string"
     )
@@ -106,3 +113,37 @@ def test_expr_and_pandas_paths_agree_on_adversarial_corpus(spark):
     ).collect()
     for r in both:
         assert r["e"] == r["p"], (r["raw"], r["e"], r["p"])
+
+
+def test_host_expr_matches_normalize_host(spark):
+    """``host_expr`` re-derives the host from an already-normalized
+    href (so the wave loop can shuffle hrefs WITHOUT a host column
+    and reattach it after the dedup groupBy — guide §2.3). It must
+    equal the ``host`` field normalize_expr itself emits, for every
+    normalized href the adversarial corpus produces."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from webcrawlergo_spark.functions.urlnorm import host_expr, normalize_expr
+
+    rng = random.Random(99)
+    pieces = list("/:#?%. ~abh") + ["://", "http", "x.y"]
+    raws = [
+        "".join(rng.choice(pieces) for _ in range(rng.randrange(1, 10)))
+        for _ in range(500)
+    ] + [
+        "/p", "p", "https://other.test:8080/a?q", "mailto:a@b", "#f",
+        "ab:cd://x", "http:///p", "://x", "h://a#b?c", "HTTPS://H.T/p",
+    ]
+    df = spark.createDataFrame([(s,) for s in raws], "raw string")
+    rows = (
+        df.select(normalize_expr(BASE, F.col("raw")).alias("n"))
+        .select(F.col("n.href").alias("href"), F.col("n.host").alias("host"))
+        .filter(F.col("href").isNotNull())
+        .select("href", "host", host_expr(F.col("href")).alias("re_host"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["re_host"] == r["host"], (r["href"], r["re_host"], r["host"])

@@ -71,6 +71,20 @@ def make_normalize_udf(base_url: str):
     return normalize
 
 
+def host_expr(s):
+    """Host of an already-normalized href — the very expression the
+    ``host`` field of ``normalize_expr`` is built from. Lets consumers
+    re-derive the host from a deduplicated href set instead of
+    shuffling the host string alongside every candidate row (guide
+    §2.3). NOTE (r6 negative result, kept for the record): a
+    locate/substr/translate re-spelling of the whole canonicalizer
+    measured ~3x SLOWER than these short anchored regexes at 10M rows
+    — the Java regex engine beats a deep when/substr tree, whose size
+    defeats codegen common-subexpression elimination. The regex
+    spelling stays."""
+    return F.regexp_extract(s, _HOST_RE, 1)
+
+
 def normalize_expr(base_url: str, raw):
     """JVM-codegen twin of the pandas canonicalizer: identical
     semantics, zero Python in the stage (tests assert equality with
@@ -95,7 +109,7 @@ def normalize_expr(base_url: str, raw):
     scheme = F.lower(F.regexp_extract(s, _SCHEME_RE, 1))
     scheme_generic = F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
     scheme = F.when(scheme == "", scheme_generic).otherwise(scheme)
-    host = F.regexp_extract(s, _HOST_RE, 1)
+    host = host_expr(s)
     path = F.regexp_extract(s, _PATH_RE, 1)
     return F.struct(
         F.when(~is_empty, s).alias("href"),

@@ -46,7 +46,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.urlnorm import make_normalize_udf, normalize_expr
+from ..functions.urlnorm import host_expr, make_normalize_udf, normalize_expr
 from ..operators.linkextract import extract_links
 from ..operators.sampling import salted_topk_split
 from ..operators.seenset import (
@@ -270,10 +270,28 @@ class CrawlEngine:
         fetcher=None,  # None → fetch-sim join; else operators/fetch.py seam
     ):
         self.spark = spark
-        self.web_index = web_index
-        self.docs = docs
         self.fetcher = fetcher
         self.cfg = config
+        # Pre-partition the two STATIC fetch-sim tables on their join
+        # keys once, at setup (r6, guide §2.4/§3.1): every wave joins
+        # `web_index` by url and `docs` by doc_id, and an unpartitioned
+        # side makes each of those a full shuffle+sort of the table
+        # per wave (measured: the docs side alone re-shuffled ~2.6 GB
+        # ×3 waves at the 2M-page bench). One hash exchange here sheds
+        # the static-side exchange from every wave's sort-merge/hash
+        # join; the wave side still shuffles O(wave) rows. Partition
+        # count = shuffle.partitions so EnsureRequirements recognizes
+        # the distribution. Real-fetch mode carries content inline and
+        # never joins these; skip (web_index may still be probed by
+        # nothing — docs/index are fetch-sim machinery only).
+        if fetcher is None:
+            n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            web_index = web_index.repartition(n_shuf, F.col("url")).localCheckpoint(
+                eager=True
+            )
+            docs = docs.repartition(n_shuf, F.col("doc_id")).localCheckpoint(eager=True)
+        self.web_index = web_index
+        self.docs = docs
         self.base_host = config.base_url.split("://", 1)[1].split("/", 1)[0].split(":")[0]
         self._rules_df = parse_robots_rules(spark, robots_rows, user_agent=config.user_agent)
         rules = self._rules_df.collect()
@@ -301,7 +319,11 @@ class CrawlEngine:
         doc_id; real-fetch rows already carry ``spans`` off the wire."""
         if self.fetcher is not None:
             return df
-        return df.join(self.docs, "doc_id")
+        # SHUFFLE_HASH with the WAVE side as build (hint on the left):
+        # sort-merge would re-SORT the (pre-partitioned, much larger)
+        # docs side every wave; hashing the small wave-row side and
+        # streaming docs costs no sort at all (guide §3.1).
+        return df.hint("shuffle_hash").join(self.docs, "doc_id")
 
     # -- seen-filter tier dispatch (bloom | cuckoo) -------------------------
     # One wave-loop code path serves both approximate tiers; these
@@ -491,7 +513,22 @@ class CrawlEngine:
         events_deltas: list[DataFrame] = []
         pages_deltas: list[DataFrame] = []
         lineage_deltas: list[DataFrame] = []
-        page_stats_deltas: list[DataFrame] = []
+        page_stats_deltas: list = []  # DataFrames or in-flight Futures of them
+        # Crawl-time analytics (the page_stats branch) depend only on
+        # the wave's already-checkpointed `sim` + the static docs
+        # table — they are independent of the NEXT wave's work. A
+        # 1-worker pool materializes each wave's stats delta in the
+        # background so its jobs back-fill executor slots during the
+        # next wave's driver-bound phases (guide §2.6 "overlap
+        # independent jobs") instead of accumulating into one big
+        # serial tail job after the loop (measured: ~15 s of a 82 s
+        # 2M-page leg). One worker bounds contention; FIFO scheduling
+        # lets wave jobs continue to grab freed slots.
+        stats_pool = None
+        if cfg.analyze_pages:
+            from concurrent.futures import ThreadPoolExecutor
+
+            stats_pool = ThreadPoolExecutor(max_workers=1)
 
         if resume and store and store.latest():
             m = store.latest()
@@ -659,7 +696,12 @@ class CrawlEngine:
                     "url", F.col("doc_id").alias("_doc_id"),
                     F.col("status").alias("_status"), F.col("fail_times").alias("_ft"),
                 )
-                sim = _with_flag_in(batch.join(web, "url", "left"))
+                # SHUFFLE_HASH, build = the (pre-partitioned) index
+                # side: sheds the per-wave sort of both sides; the
+                # index's exchange is already shed by the one-time
+                # repartition in __init__ (left-outer + build-right
+                # is a supported shuffled-hash shape)
+                sim = _with_flag_in(batch.join(web.hint("shuffle_hash"), "url", "left"))
                 sim = sim.select(
                     *[F.col(c) for c in batch.columns],
                     F.col("_doc_id").alias("doc_id"),
@@ -837,20 +879,25 @@ class CrawlEngine:
                     # elimination (measured 10× wall blowup).
                     # ONE md5 per token, N integer permutations of it
                     # (module docstring at minhash_ab) — never N md5s
+                    # r6: the exploded token rows carry ONLY the 8-byte
+                    # event_rank (the wave's unique page key — a global
+                    # row_number) instead of (url, event_rank): the
+                    # ~40-byte url string multiplied by ~tokens-per-page
+                    # dominated the aggregate's hash/partial-agg bytes;
+                    # url re-attaches via the stats join below. Same
+                    # groups (event_rank is unique), same mins.
                     mh = (
                         fetched_docs.select(
-                            "url",
                             "event_rank",
                             F.explode_outer(F.array_distinct(F.split(text, " "))).alias("_g"),
                         )
                         .select(
-                            "url",
                             "event_rank",
                             F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10)
                             .cast("bigint")
                             .alias("_h"),
                         )
-                        .groupBy("url", "event_rank")
+                        .groupBy("event_rank")
                         .agg(
                             *[
                                 F.min(
@@ -863,8 +910,17 @@ class CrawlEngine:
                             ]
                         )
                     )
-                    stats = stats.join(mh, ["url", "event_rank"])
-                page_stats_deltas.append(stats)
+                    # SHUFFLE_HASH, build = the narrow mh side: the
+                    # groupBy's own hash(event_rank) output feeds the
+                    # join exchange-free, and neither side pays a sort
+                    mh_cols = [f"mh{i}" for i in range(cfg.content_minhash_seeds)]
+                    stats = stats.join(mh.hint("shuffle_hash"), "event_rank").select(
+                        "url", "event_rank", "n_chars", "n_tokens",
+                        "marker_hits", "fingerprint", "n_media", *mh_cols,
+                    )
+                page_stats_deltas.append(
+                    stats_pool.submit(lambda df=stats: df.localCheckpoint(eager=True))
+                )
             norm = raw_links.withColumn("_n", self._normalize(F.col("raw_href"))).select(
                 "parent_url", "event_rank", "depth", "span_offset", "link_pos",
                 F.col("_n.href").alias("href"), F.col("_n.scheme").alias("scheme"),
@@ -892,8 +948,15 @@ class CrawlEngine:
             # duplication BEFORE anything materializes. `valid` is a pure
             # function of href, so grouping by (href, valid) == by href.
             obs_grouped = Observation()
+            # the host string does NOT ride the exchange (guide §2.3 —
+            # shuffle fewer bytes): host is a pure function of href
+            # (urlnorm.host_expr ≡ the normalize struct's host field,
+            # equality-tested), so it is re-derived AFTER the groupBy
+            # from the deduplicated href set — ~links-per-page× fewer
+            # evaluations than rows shuffled, and ~20 bytes less per
+            # shuffled row
             grouped = judged.groupBy("href", "valid").agg(
-                F.min(F.struct("event_rank", "span_offset", "link_pos", "depth", "host")).alias("k")
+                F.min(F.struct("event_rank", "span_offset", "link_pos", "depth")).alias("k")
             )
             # flatten the min-struct BEFORE anything Arrow-bound: a
             # struct column crosses applyInPandas as per-row Python
@@ -906,7 +969,7 @@ class CrawlEngine:
                 F.col("k.span_offset").alias("span_offset"),
                 F.col("k.link_pos").alias("link_pos"),
                 F.col("k.depth").alias("depth"),
-                F.col("k.host").alias("host"),
+                host_expr(F.col("href")).alias("host"),
             )
             # probe gate: below bloom_probe_min_seen the anti-join the
             # probe would avoid is cheaper than the probe's own
@@ -1269,6 +1332,13 @@ class CrawlEngine:
             if debug_timing:
                 print(f"  wave {wave_id}: {n_events} events", flush=True)
             wave_id += 1
+
+        if stats_pool is not None:
+            # settle the in-flight materializations (the last wave's
+            # delta may still be running — its job overlapped the
+            # loop's tail phases); errors surface here, not silently
+            page_stats_deltas = [f.result() for f in page_stats_deltas]
+            stats_pool.shutdown()
 
         def _acc(deltas: list[DataFrame], schema: str) -> DataFrame:
             if not deltas:
