@@ -491,15 +491,21 @@ def connected_components(
         jumps = merged.select(
             F.col("id").alias("component"), F.col("component").alias("jump")
         )
+        # decimal sum: an int64 sum could wrap at 10^10-node scale and
+        # (theoretically) alias two different label states; decimal(38)
+        # holds sum(10^10 ids < 10^19) exactly. r6: the sum rides an
+        # Observation on the round's own checkpoint job (the
+        # hits_scores trick) — one job per round instead of two.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         labels = (
             merged.join(jumps, "component")
             .select("id", F.col("jump").alias("component"))
+            .observe(obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
-        # decimal sum: an int64 sum could wrap at 10^10-node scale and
-        # (theoretically) alias two different label states; decimal(38)
-        # holds sum(10^10 ids < 10^19) exactly
-        total = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+        total = obs.get["s"]
         if total == prev_sum:
             return labels
         prev_sum = total

@@ -68,6 +68,7 @@ from ..operators.validate import (
     validity_flag,
 )
 from .checkpoint import CheckpointStore
+from .rank import SMALL_BATCH as RANK_SMALL_BATCH
 from .rank import with_global_rank, with_host_seq
 
 # In-flight content-minhash permutation family: ONE md5 per distinct
@@ -769,11 +770,17 @@ class CrawlEngine:
             # wire anyway) but nothing says the extract must stay
             # serial; one bounded shuffle of the wave's fetched
             # content buys full-width regex/canonicalize work.
+            # r6: only the SMALL_BATCH rank path needs the restore —
+            # above it, with_global_rank's explicit repartitionByRange
+            # (user-specified partition count, exempt from AQE
+            # coalescing) already pinned the wave at full width, and
+            # the extra round-robin exchange re-shuffled ~1M rows per
+            # big wave for nothing.
             width = min(
                 spark.sparkContext.defaultParallelism,
                 max(1, n_events // 1000),
             )
-            if self.fetcher is None or cfg.same_host_only:
+            if (self.fetcher is None or cfg.same_host_only) and n_events <= RANK_SMALL_BATCH:
                 sim = sim.repartition(width)
             sim = sim.localCheckpoint(eager=True)
             n_retries = int(obs_sim.get["n_retries"] or 0)
