@@ -27,38 +27,11 @@ percentile list never grows with data.
 
 from __future__ import annotations
 
-import math
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from webcrawlergo_spark.plans.rank import with_running_sum
 
 PCTS = (0.5, 0.95, 0.99)
-
-
-def _bucket_expr(v, bounds: list[float]):
-    """Bucket index of ``v`` under sorted separator ``bounds`` —
-    #{i : bounds[i] <= v} — as a BALANCED binary CASE tree
-    (log2(#bounds) comparisons per row, whole-stage codegen; a linear
-    chain or an array HOF would be interpreted / O(#bounds))."""
-
-    def rec(lo: int, hi: int):
-        if lo == hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        return F.when(v < F.lit(bounds[mid]), rec(lo, mid)).otherwise(rec(mid + 1, hi))
-
-    return rec(0, len(bounds))
-
-
-def _offset_expr(b, offs: list[int]):
-    """offs[b] as a balanced binary CASE tree over the bucket id."""
-
-    def rec(lo: int, hi: int):
-        if lo == hi:
-            return F.lit(offs[lo])
-        mid = (lo + hi) // 2
-        return F.when(b <= F.lit(mid), rec(lo, mid)).otherwise(rec(mid + 1, hi))
-
-    return rec(0, len(offs) - 1)
 
 
 def exact_percentiles_frame(
@@ -66,82 +39,40 @@ def exact_percentiles_frame(
 ) -> DataFrame:
     """(pct, value, rank_at, n_rows) per requested percentile —
     value is the smallest input element whose cumulative count
-    reaches ceil(pct · n).
-
-    r6 recipe — sketch-bounded bucket prefix sum. The previous
-    spelling (groupBy(value) → repartitionByRange prefix-sum recipe)
-    executed the scan+groupBy subtree TWICE (RangePartitioner's
-    sampling pass is a full execution) plus a localCheckpoint of the
-    millions-of-distinct-values frame. Now:
-
-    1. one no-shuffle quantile-sketch pass picks ~4×parallelism
-       value-ordered bucket bounds (balance only affects task skew,
-       never results);
-    2. one cheap pass counts rows per bucket (map-side collapse to
-       ≤#buckets rows/task) — the driver cumsum over ≤#buckets ints
-       yields every bucket's exclusive offset AND the exact total, so
-       the percentile target ranks become plan literals;
-    3. one exchange + per-bucket sort ranks the raw rows (row_number
-       + bucket offset = exact global rank), and a codegen isin
-       filter + tiny broadcast equi-join picks the target order
-       statistics — no aggregation, no distinct-value frame.
-
-    Exactness is unchanged: bucket bounds only partition the value
-    axis; every count, offset and target is integer arithmetic."""
+    reaches ceil(pct · n)."""
     spark = df.sparkSession
-    src = df.filter(F.col(col).isNotNull())
-    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_buckets = max(64, 4 * n_shuf)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(src.stat.approxQuantile(col, probs, 0.01)))
-    bucket_of = _bucket_expr(F.col("v"), bounds)
-    # pass 2: per-bucket row counts straight off the raw rows
-    # (Σ_{v∈bucket} cnt(v) ≡ raw row count per bucket — no groupBy(v))
-    btot = {
-        r["_b"]: r["c"]
-        for r in src.select(_bucket_expr(F.col(col), bounds).alias("_b"))
-        .groupBy("_b")
-        .agg(F.count("*").alias("c"))
-        .collect()
-    }
-    offs, acc = [], 0
-    for b in range(len(bounds) + 1):
-        offs.append(acc)
-        acc += int(btot.get(b, 0))
-    n = acc
-    targets = [(p, math.ceil(p * n)) for p in pcts]
-    # pass 3: with the target ranks known as literals, the percentile
-    # for target t is simply the t-th order statistic — no groupBy at
-    # all. The raw (value, bucket) rows (~12 B each) hash-repartition
-    # on _b straight off the scan (a single-row-group file's 1-task
-    # scan does only the bucket map), a per-bucket row_number plus the
-    # bucket's exclusive offset IS the global rank (buckets are
-    # value-ordered intervals; rows tying on v are interchangeable, so
-    # the value at any rank is deterministic), and a codegen isin
-    # filter keeps exactly the |pcts| target rows before a tiny
-    # broadcast equi-join attaches (pct, n). One exchange, one sort,
-    # no aggregation — the straddle join over per-value counts is
-    # equivalent (the value whose cumulative range contains t is the
-    # t-th smallest element) and this spelling never materializes the
-    # distinct-value frame.
-    glob_rank = (
-        F.row_number().over(Window.partitionBy("_b").orderBy("v"))
-        + _offset_expr(F.col("_b"), offs)
-    ).cast("long")
-    ranked = (
-        src.select(F.col(col).alias("v"))
-        .withColumn("_b", bucket_of)
-        .repartition(n_shuf, "_b")
-        .withColumn("_gr", glob_rank)
-        .filter(F.col("_gr").isin([t for _, t in targets]) if targets else F.lit(False))
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("cnt"))
     )
-    tdf = F.broadcast(
-        spark.createDataFrame(targets, "pct double, target long").withColumn(
-            "n", F.lit(n).cast("bigint")
+    # (r6 negative result, measured at sf1.0: checkpointing `counts`
+    # so RangePartitioner's sampling pass wouldn't recompute it made
+    # the query SLOWER — cold 5.7 → 10.3 s, warm 3.6 → 3.9 s; the
+    # scan+groupBy subtree is cheaper than materializing the
+    # millions-of-distinct-values frame. Left as the recompute.)
+    cum = with_running_sum(counts, ["v"], "cnt", "cum")
+    # total = the max inclusive running sum — read off the frame
+    # with_running_sum just localCheckpoint'ed instead of re-scanning
+    # the input and re-running the counts groupBy (r6, VERDICT item 4:
+    # the tot branch was a second full scan+shuffle; integer max over
+    # the checkpointed cum is bit-identical to sum(cnt))
+    tot = cum.agg(F.max("cum").cast("bigint").alias("n"))
+    targets = (
+        spark.createDataFrame([(p,) for p in pcts], "pct double")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pct",
+            F.ceil(F.col("pct") * F.col("n")).cast("bigint").alias("target"),
+            "n",
         )
     )
     return (
-        ranked.join(tdf, ranked["_gr"] == tdf["target"])
+        cum.join(
+            F.broadcast(targets),
+            (F.col("cum") - F.col("cnt") < F.col("target"))
+            & (F.col("target") <= F.col("cum")),
+        )
         .select("pct", F.col("v").alias("value"), F.col("target").alias("rank_at"), F.col("n").alias("n_rows"))
         .orderBy("pct")
     )
@@ -156,7 +87,19 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are near-unique, so the spread trades the serialized
     1-task partial agg for a FULL raw-row shuffle with no map-side
     collapse. Left on the raw scan; the cost here is the multi-pass
-    prefix-sum recipe, not the scan.)"""
+    prefix-sum recipe, not the scan.
+
+    Second r6 negative result: a direct order-statistics recipe —
+    approxQuantile bucket bounds, per-bucket count collect turning the
+    target ranks into plan literals, then one repartition+row_number
+    pass picking the ranks straight off the raw rows — produced
+    bit-identical results but measured SLOWER on an interleaved A/B
+    (warm 3.9 vs 3.1 s, first-in-session 12.0 vs 7.2 s at sf1.0;
+    cold 14.2 vs 5.1 s at sf0.1): its three raw-row actions
+    (sketch, bucket counts, rank pass) cost more than the prefix-sum
+    recipe's one extra scan+groupBy execution, and the raw-row
+    repartition shuffles rows instead of (value, cnt) pairs.
+    Reverted to this prefix-sum spelling.)"""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return exact_percentiles_frame(li, "l_extendedprice")
 
