@@ -64,19 +64,34 @@ def with_global_rank(
         w = Window.partitionBy(F.lit(0)).orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(rank_col, (F.row_number().over(w) - 1 + start).cast("long"))
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    parted = df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])
-    w = Window.partitionBy(F.spark_partition_id()).orderBy(*[F.col(c) for c in order_cols])
-    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_local_rn", F.row_number().over(w)
-    )
+    order = [F.col(c) for c in order_cols]
+    # r6: the per-partition rank comes from monotonically_increasing_id
+    # over an explicit sortWithinPartitions — NOT from a
+    # Window.partitionBy(spark_partition_id()). The window spelling
+    # required ClusteredDistribution(spark_partition_id()), so
+    # EnsureRequirements inserted a SECOND full exchange of the data
+    # (hashpartitioning(pid)) right after the range exchange — and,
+    # being ENSURE_REQUIREMENTS-origin, AQE coalesced it to ~64 MB
+    # partitions, silently narrowing every downstream stage (an 18-wide
+    # 1M-row crawl wave on 32 cores). mid = (pid << 33) + local_idx is
+    # partition-local row order — after the explicit sort that IS the
+    # rank order (order_cols are a unique total order, the function's
+    # documented contract) — so the recipe now moves the data exactly
+    # once and the REPARTITION_BY_NUM range exchange (AQE-exempt) pins
+    # full width.
+    parted = df.repartitionByRange(int(n), *order).sortWithinPartitions(*order)
+    local = parted.withColumn("_mid", F.monotonically_increasing_id())
     # localCheckpoint pins the partitioning: the count-per-partition pass
     # and the final pass must see identical partition layouts.
-    local = local.localCheckpoint(eager=True)
+    local = local.localCheckpoint(eager=True).withColumn(
+        "_pid", F.shiftright(F.col("_mid"), 33).cast("int")
+    )
     off_df = _prefix_offsets(local, F.count("*"), start)
+    local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     return (
         local.join(F.broadcast(off_df), "_pid", "left")
-        .withColumn(rank_col, (F.coalesce(F.col("_off"), F.lit(start)) + F.col("_local_rn") - 1).cast("long"))
-        .drop("_pid", "_local_rn", "_off")
+        .withColumn(rank_col, (F.coalesce(F.col("_off"), F.lit(start)) + local_idx).cast("long"))
+        .drop("_pid", "_mid", "_off")
     )
 
 
