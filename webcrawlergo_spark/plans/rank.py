@@ -174,25 +174,42 @@ def with_host_seq(
         w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    parted = df.repartitionByRange(int(n), F.col(host_col), *[F.col(c) for c in order_cols])
-    w = Window.partitionBy(F.spark_partition_id(), host_col).orderBy(
-        *[F.col(c) for c in order_cols]
+    # r6: same one-exchange rewrite as with_global_rank — the
+    # Window.partitionBy(spark_partition_id(), host) spelling forced a
+    # second full exchange on pid (AQE-coalescible, width-narrowing).
+    # After the explicit (host, order) sort, mid's partition-local row
+    # index is the rank order; the per-(partition, host) local rank is
+    # local_idx − min(local_idx over that (partition, host) group) + 1,
+    # with the group mins riding the SAME tiny aggregate that already
+    # produced the per-group counts for the cross-partition offsets.
+    order = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(int(n), F.col(host_col), *order).sortWithinPartitions(
+        F.col(host_col), *order
     )
-    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_local_rn", F.row_number().over(w)
-    )
+    local = parted.withColumn("_mid", F.monotonically_increasing_id())
     local = local.localCheckpoint(eager=True)  # pin the partition layout
-    counts = local.groupBy("_pid", host_col).agg(F.count("*").alias("_cnt"))
+    local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    local = local.withColumn(
+        "_pid", F.shiftright(F.col("_mid"), 33).cast("int")
+    )
+    groups = local.groupBy("_pid", host_col).agg(
+        F.count("*").alias("_cnt"), F.min(local_idx).alias("_min")
+    )
     w_off = (
         Window.partitionBy(host_col)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.withColumn(
+    offsets = groups.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-    ).select("_pid", host_col, "_off")
+    ).select("_pid", host_col, "_off", "_min")
+    # no broadcast hint: offsets is O(distinct (partition, host)) rows —
+    # tiny for bounded hosts, but a 10^8-host frontier must be allowed
+    # to fall back to a shuffle join (AQE auto-broadcasts when small)
     return (
         local.join(offsets, ["_pid", host_col], "left")
-        .withColumn(seq_col, (F.col("_off") + F.col("_local_rn")).cast("long"))
-        .drop("_pid", "_local_rn", "_off")
+        .withColumn(
+            seq_col, (F.col("_off") + local_idx - F.col("_min") + 1).cast("long")
+        )
+        .drop("_pid", "_mid", "_off", "_min")
     )
